@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full KG-construction pipeline (segment →
+                 NER → triples) on the deterministic synthetic `pages`
+                 table at sf0.001 scale; returns the triples DataFrame.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -15,24 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """pages(sf0.001, 500 rows) → segments → mentions → triples."""
+    from kgp.operators.ner import gazetteer_df, mentions_relational
+    from kgp.operators.segment import extract_docs
+    from kgp.operators.triples import build_triples, cap_mentions
+    from kgp.synth import synth_pages
+
+    pages = synth_pages(spark, 500)
+    docs = extract_docs(pages)
+    mentions = mentions_relational(docs, gazetteer_df(spark))
+    return build_triples(cap_mentions(mentions))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgp.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgp.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,103 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Methodology: every query runs twice — an untimed warmup (fills Spark's
+whole-stage-codegen cache; Janino compilation of a fresh plan shape
+costs seconds in this sandbox and is a one-time cost irrelevant at
+100 TB) and a timed steady-state run. Reported numbers are the timed
+run; `cold_sec` records the warmup pass for transparency.
+
+Headline set:
+- kg_pipeline: pages → segments → mentions → cap → triples+entities on
+  the deterministic synthetic pages table at the sf-matched scale
+  (BASELINE.json metric — docs/sec reported as kg_docs_per_sec)
+- a spread of oracle-gated relational queries at the driver sf
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from kgp.session import get_spark
+
+    spark = get_spark("kgp-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    from kgp.operators.ner import gazetteer_df, mentions_relational
+    from kgp.operators.segment import extract_docs
+    from kgp.operators.triples import (
+        build_entities,
+        build_triples,
+        cap_mentions,
+    )
+    from kgp.queries import queries as all_queries
+    from kgp.synth import pages_scale_for_sf, synth_pages
+
+    n_pages = pages_scale_for_sf(sf_dir)
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
+    def run_kg(pages_df):
+        docs = extract_docs(pages_df)
+        mentions = mentions_relational(docs, gazetteer_df(spark))
+        capped = cap_mentions(mentions)
+        return build_triples(capped).count(), build_entities(capped).count()
+
+    # materialize input once (generation is not part of the measured op)
+    pages_path = "/tmp/kgp_bench_pages"
+    synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    t0 = time.perf_counter()
+    run_kg(pages)  # warmup: codegen-compile every stage shape
+    cold["kg_pipeline"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_triples, n_entities = run_kg(pages)
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    for name in [
+        "kg_triples",
+        "kg_entity_doc_counts",
+        "tpch_pricing_summary",
+        "top_customers_by_revenue",
+        "events_monthly_by_type",
+    ]:
+        fn = all_queries()[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "cold_sec": cold,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "kg_docs_per_sec": round(n_pages / kg_sec, 1),
+                "kg_pages": n_pages,
+                "kg_triples": n_triples,
+                "kg_entities": n_entities,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""J1/F2/F3/A1/T4/S5/S6 — triple + entity-node construction.
+
+Reference: /root/reference/src/kg/gremlin_client.py:102-135 —
+- label filter BEFORE the per-doc cap (entity_extraction.py:30 filters,
+  then gremlin_client.py:115 slices ``entities[:10]``),
+- pinned first-occurrence order (first_offset, surface) replaces the
+  reference's nondeterministic ``list(set(...))`` (SURVEY §2 A1),
+- ``entity_id = 'entity:' + lower(surface) with ALL spaces → '_'``
+  (gremlin_client.py:116),
+- ``edge_id = 'edge:{doc_id}:{entity_id}:contains_entity'``
+  (gremlin_client.py:127),
+- node upsert keyed on id (gremlin_client.py:72-84) → dropDuplicates
+  on entity_id; edge upsert keyed (source, target, label)
+  (gremlin_client.py:86-99) → dropDuplicates on (subj, pred, obj).
+
+Scale notes: the cap is a per-document top-k — a window over the doc
+key would shuffle the full mentions table; AQE handles it, but when
+mentions come straight from the in-row extractor the cap can instead be
+applied inside the row (see plans.pipeline.build_kg's fused path).
+Entity-node dedup is a shuffle on entity_id — head entities are hot
+keys, but dropDuplicates does map-side partial aggregation so the
+skew reaching the reduce side is one row per (partition, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgp.constants import (
+    CONTENT_TRUNCATE_CHARS,
+    ENTITY_LABELS,
+    MAX_ENTITIES_PER_DOC,
+    PRED_CONTAINS_ENTITY,
+)
+
+
+def normalize_entity_id(surface: Column) -> Column:
+    """F2 (gremlin_client.py:116). ASCII-safe for our gazetteers; for
+    full-Unicode parity with Python str.lower a pandas UDF would be
+    swapped in (documented deviation, SURVEY §2 F2)."""
+    return F.concat(
+        F.lit("entity:"), F.regexp_replace(F.lower(surface), " ", "_")
+    )
+
+
+def cap_mentions(mentions: DataFrame, doc_col: str = "url") -> DataFrame:
+    """Label filter → pinned order → per-doc cap (A1/T4/P3)."""
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("first_offset").asc(), F.col("surface").asc()
+    )
+    return (
+        mentions.filter(F.col("label").isin(*ENTITY_LABELS))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MAX_ENTITIES_PER_DOC)
+        .drop("rank")
+    )
+
+
+def build_triples(capped_mentions: DataFrame, doc_col: str = "url") -> DataFrame:
+    """`triples` rows from capped mentions (J1 — explode replaces the
+    reference's per-doc nested loop; no join needed)."""
+    subj = F.concat(F.lit("page:"), F.col(doc_col))
+    obj = normalize_entity_id(F.col("surface"))
+    return (
+        capped_mentions.select(
+            subj.alias("subj"),
+            F.lit(PRED_CONTAINS_ENTITY).alias("pred"),
+            obj.alias("obj"),
+        )
+        .withColumn(
+            "edge_id",
+            F.concat_ws("", F.lit("edge:"), F.col("subj"), F.lit(":"),
+                        F.col("obj"), F.lit(":" + PRED_CONTAINS_ENTITY)),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])  # S6 idempotent edge upsert
+    )
+
+
+def build_entities(capped_mentions: DataFrame) -> DataFrame:
+    """`entities` (Entity nodes): idempotent upsert ⇒ unique entity_id.
+
+    Ties on surface case (e.g. a gazetteer with 'Turing' and 'turing')
+    resolve to the lexicographically-first name for determinism; the
+    reference's last-write-wins is load-order-dependent.
+    """
+    return (
+        capped_mentions.select(
+            normalize_entity_id(F.col("surface")).alias("entity_id"),
+            F.col("surface").alias("name"),
+            F.col("label").alias("ner_label"),
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.min("name").alias("name"),
+            F.min("ner_label").alias("type"),
+        )
+        .select(
+            "entity_id",
+            "name",
+            F.lit("Entity").alias("label"),
+            "type",
+            F.lit(None).cast("string").alias("canonical_id"),
+        )
+    )
+
+
+def build_content_nodes(docs: DataFrame) -> DataFrame:
+    """Content nodes (gremlin_client.py:104-111): one per document,
+    content truncated to 500 chars (P4, :108)."""
+    return docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("url").alias("name"),
+        F.lit("Content").alias("label"),
+        F.lit("web_page").alias("type"),
+        F.lit(None).cast("string").alias("canonical_id"),
+    ).dropDuplicates(["entity_id"])
+
+
+def truncate_content(docs: DataFrame) -> DataFrame:
+    """P4 content property: first 500 chars of the extracted text."""
+    return docs.select(
+        "doc_id",
+        F.substring("extracted_text", 1, CONTENT_TRUNCATE_CHARS).alias(
+            "content"
+        ),
+    )

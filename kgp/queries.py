@@ -1,0 +1,306 @@
+"""Driver-gated query registry: each entry is (spark_fn, oracle_sql).
+
+spark_fn(spark, sf_dir) -> DataFrame; oracle_sql is ANSI SQL DuckDB runs
+on the same parquet (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases MUST match
+between the two sides (driver hashes values under sorted column names).
+
+KG queries run against the driver `documents` table with the pinned
+DOCS_GAZETTEER so they get a real SQL oracle; the synthetic-pages
+pipeline twins (no DuckDB view for `pages`) are registered in
+kgp.queries_pages with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgp.constants import ENTITY_LABELS, MAX_ENTITIES_PER_DOC
+from kgp.gazetteer import DOCS_GAZETTEER, sql_values
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    # import for side effects: register pages-pipeline + extension queries
+    import kgp.queries_pages  # noqa: F401
+
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    import kgp.queries_pages  # noqa: F401
+
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# label filter fragment shared by KG-on-documents oracles
+# ---------------------------------------------------------------------------
+_LABELS_SQL = ", ".join(f"'{x}'" for x in ENTITY_LABELS)
+_GAZ_SQL = sql_values(DOCS_GAZETTEER)
+
+# mentions CTE shared by several oracles: whole-token gazetteer match
+# with 0-based first offset (strpos is 1-based; locate likewise on the
+# Spark side — kgp.operators.ner.mentions_relational).
+_MENTIONS_CTE = f"""
+WITH mentions AS (
+  SELECT d.doc_id,
+         gaz.surface,
+         gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d, {_GAZ_SQL}
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ({_LABELS_SQL})
+)
+"""
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast gazetteer match over `documents` (JVM-side locate)."""
+    docs = _t(spark, sf_dir, "documents")
+    gaz = spark.createDataFrame(
+        DOCS_GAZETTEER, schema="surface string, label string"
+    )
+    return (
+        docs.join(F.broadcast(gaz))
+        .withColumn(
+            "first_offset",
+            (
+                F.expr(
+                    "locate(concat(' ', surface, ' '), "
+                    "concat(' ', text, ' '))"
+                )
+                - 1
+            ).cast("long"),
+        )
+        .filter(F.col("first_offset") >= 0)
+        .select("doc_id", "surface", "label", "first_offset")
+    )
+
+
+def _doc_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("first_offset").asc(), F.col("surface").asc()
+    )
+    return (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("label").isin(*ENTITY_LABELS))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MAX_ENTITIES_PER_DOC)
+    )
+
+
+@register(
+    "kg_mentions",
+    f"""
+{_MENTIONS_CTE}
+SELECT doc_id, surface, label, first_offset FROM mentions
+""",
+)
+def q_kg_mentions(spark, sf_dir):
+    return _doc_mentions(spark, sf_dir)
+
+
+@register(
+    "kg_triples",
+    f"""
+{_MENTIONS_CTE}
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+       'contains_entity' AS pred,
+       'entity:' || replace(lower(surface), ' ', '_') AS obj
+FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+""",
+)
+def q_kg_triples(spark, sf_dir):
+    capped = _doc_capped(spark, sf_dir)
+    return capped.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("contains_entity").alias("pred"),
+        F.concat(
+            F.lit("entity:"),
+            F.regexp_replace(F.lower(F.col("surface")), " ", "_"),
+        ).alias("obj"),
+    )
+
+
+@register(
+    "kg_entities",
+    f"""
+{_MENTIONS_CTE}
+SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+       min(surface) AS name,
+       min(label) AS type
+FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+GROUP BY 1
+""",
+)
+def q_kg_entities(spark, sf_dir):
+    capped = _doc_capped(spark, sf_dir)
+    return (
+        capped.select(
+            F.concat(
+                F.lit("entity:"),
+                F.regexp_replace(F.lower(F.col("surface")), " ", "_"),
+            ).alias("entity_id"),
+            F.col("surface").alias("name0"),
+            F.col("label").alias("type0"),
+        )
+        .groupBy("entity_id")
+        .agg(F.min("name0").alias("name"), F.min("type0").alias("type"))
+    )
+
+
+@register(
+    "kg_entity_doc_counts",
+    f"""
+{_MENTIONS_CTE}
+SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+GROUP BY 1
+""",
+)
+def q_kg_entity_doc_counts(spark, sf_dir):
+    """A3 — docs per entity (salt-friendly two-level agg not needed at
+    this cardinality; head-entity skew handled by partial aggregation)."""
+    capped = _doc_capped(spark, sf_dir)
+    return (
+        capped.select(
+            F.concat(
+                F.lit("entity:"),
+                F.regexp_replace(F.lower(F.col("surface")), " ", "_"),
+            ).alias("entity_id"),
+            "doc_id",
+        )
+        .groupBy("entity_id")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@register(
+    "kg_onehop_facts",
+    f"""
+{_MENTIONS_CTE},
+triples AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+         'contains_entity' AS pred,
+         'entity:' || replace(lower(surface), ' ', '_') AS obj
+  FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+)
+SELECT subj, pred, obj FROM triples WHERE obj = 'entity:spark'
+""",
+)
+def q_kg_onehop_facts(spark, sf_dir):
+    """J3 — 1-hop fact expansion for a fixed entity (gremlin_client.py:
+    190-221 reduced to the relational equi-join/filter)."""
+    return q_kg_triples(spark, sf_dir).filter(
+        F.col("obj") == "entity:spark"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage on TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+""",
+)
+def q_top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_monthly_by_type",
+    """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_monthly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.date_trunc("month", "ts")).alias("month"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )

@@ -1,0 +1,121 @@
+"""Deterministic synthetic `pages` table (seed=42, no external data).
+
+BASELINE.json input_hint: ``url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string``. Every row is a pure function of (seed,
+row_id), so generation is embarrassingly parallel and INDEPENDENT of
+partitioning — the same row ids produce the same bytes whether generated
+on 1 core or 1000 executors (`spark.range(n)` + `mapInPandas`).
+
+Skew is deliberate (FIXTURES.md §1): domains are zipf-ranked so a few
+mega-domains hold a large share of rows (exercises url-hash repartition
++ AQE skew handling, SURVEY §2 X6), and gazetteer entities are
+zipf-ranked so head entities dominate (salted-aggregation test). Some
+pages carry >10 entities (cap test), and text includes leading/double
+spaces (byte-identical-join test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from kgp import schemas
+from kgp.constants import SYNTH_SEED
+from kgp.gazetteer import PAGES_GAZETTEER
+
+_FILLER = (
+    "the a of and to in on for with from by at as is was are were has have "
+    "had said new old big small fast slow data table query engine shuffle "
+    "partition column row batch stream merge sort hash join scan filter "
+    "group window agg key value index vector graph node edge triple page "
+    "crawl web text html link site host fetch parse token term corpus"
+).split()
+
+_DOMAINS = [f"site{i:03d}.example.com" for i in range(50)]
+_LANGS = ["en", "en", "en", "en", "es", "de", "zh", "fr"]  # ~50%+ en weight
+_EPOCH_2024 = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+_SECONDS_2024 = 366 * 24 * 3600
+
+# zipf-ish weights over domains / gazetteer entries
+_DOMAIN_W = 1.0 / np.arange(1, len(_DOMAINS) + 1) ** 1.2
+_DOMAIN_W /= _DOMAIN_W.sum()
+_GAZ_SURFACES = [s for s, _, _ in PAGES_GAZETTEER]
+_GAZ_W = 1.0 / np.arange(1, len(_GAZ_SURFACES) + 1) ** 1.1
+_GAZ_W /= _GAZ_W.sum()
+
+
+def page_row(row_id: int, seed: int = SYNTH_SEED) -> dict:
+    """Generate one page — pure function of (seed, row_id)."""
+    rng = np.random.default_rng(seed * 1_000_003 + row_id)
+    domain = _DOMAINS[rng.choice(len(_DOMAINS), p=_DOMAIN_W)]
+    url = f"https://{domain}/p/{row_id}"
+    n_words = int(rng.integers(30, 150))
+    words = list(rng.choice(_FILLER, size=n_words))
+    # entity injection: zipf-ranked draw, 0..25 mentions per page
+    n_ents = min(int(rng.zipf(1.6)) - 1, 25)
+    for _ in range(n_ents):
+        surface = _GAZ_SURFACES[rng.choice(len(_GAZ_SURFACES), p=_GAZ_W)]
+        pos = int(rng.integers(0, len(words) + 1))
+        words.insert(pos, surface)
+    text = " ".join(words)
+    # whitespace quirks: double space / leading space on some pages
+    if rng.random() < 0.10:
+        cut = int(rng.integers(1, max(2, len(text) - 1)))
+        text = text[:cut] + " " + text[cut:]
+    if rng.random() < 0.05:
+        text = " " + text
+    ts = datetime.fromtimestamp(
+        _EPOCH_2024 + int(rng.integers(0, _SECONDS_2024)), tz=timezone.utc
+    )
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": b"<html><body>" + text.encode("utf-8") + b"</body></html>",
+        "text": text,
+        "lang": str(rng.choice(_LANGS)),
+    }
+
+
+def synth_pages_pdf(n: int, seed: int = SYNTH_SEED, start: int = 0) -> pd.DataFrame:
+    """Local pandas generator (oracle tests, DuckDB comparisons)."""
+    rows = [page_row(i, seed) for i in range(start, start + n)]
+    pdf = pd.DataFrame(rows)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    return pdf
+
+
+def synth_pages(
+    spark: SparkSession, n: int, seed: int = SYNTH_SEED, partitions: int | None = None
+) -> DataFrame:
+    """Distributed generator: spark.range(n) → mapInPandas(page_row).
+
+    Scales to any n: each task materialises only its own id-range.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["id"].tolist()
+            rows = [page_row(int(i), seed) for i in ids]
+            pdf = pd.DataFrame(rows)
+            pdf["warc_ts"] = pd.to_datetime(
+                pdf["warc_ts"], utc=True
+            ).dt.tz_localize(None)
+            yield pdf
+
+    rng_df = spark.range(0, n, numPartitions=partitions)
+    return rng_df.mapInPandas(gen, schema=schemas.PAGES)
+
+
+def pages_scale_for_sf(sf_dir: str) -> int:
+    """Page count matched to the driver scale factor (FIXTURES.md §1)."""
+    if "0.001" in sf_dir:
+        return 500
+    if "0.01" in sf_dir:
+        return 5_000
+    if "0.1" in sf_dir:
+        return 50_000
+    return 5_000
