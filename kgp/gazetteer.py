@@ -94,6 +94,27 @@ DOCS_GAZETTEER: list[tuple[str, str]] = [
 ]
 
 
+# Alias dictionary over the documents gazetteer (X2 linking on the
+# driver tables): surface → canonical_id. "window" and "agg" share one
+# canonical id so canonicalization (X5) has a real merge to perform.
+DOCS_ALIAS: list[tuple[str, str]] = [
+    ("spark", "canon:spark"),
+    ("merge join", "canon:join_ops"),
+    ("table scan", "canon:scan_ops"),
+    ("window", "canon:analytics_ops"),
+    ("agg", "canon:analytics_ops"),
+    ("hash", "canon:hash"),
+    ("sort", "canon:sort"),
+    ("stream", "canon:stream"),
+    ("filter", "canon:filter"),
+]
+
+
+def docs_alias_sql_values() -> str:
+    rows = ", ".join(f"('{s}', '{c}')" for s, c in DOCS_ALIAS)
+    return f"(VALUES {rows}) AS ad(surface, canonical_id)"
+
+
 def sql_values(gaz: list[tuple[str, str]]) -> str:
     """Render (surface, label) pairs as a SQL VALUES table literal."""
     rows = ", ".join(f"('{s}', '{lab}')" for s, lab in gaz)

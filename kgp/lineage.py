@@ -1,0 +1,125 @@
+"""Per-stage / per-partition lineage ledger (north rule: "every stage
+writes per-partition lineage rows and counters so the job resumes from
+the last committed snapshot checkpoint").
+
+Reference ancestor: the per-task status ledger TaskInfo at
+/root/reference/src/api/task_tracker.py:12-29 (status ∈ pending/
+running/completed/failed/cancelled + timestamps), lifted from
+per-HTTP-task to per-stage-per-partition (SURVEY §1.3 `lineage` table).
+
+The ledger is an append-only parquet directory next to the pipeline
+output. Counters come from the committed output files themselves
+(one row per output file = one write partition) — honest numbers read
+back from the sink, not an in-flight estimate, and free of a second
+pass over the input. In an Iceberg deployment this maps to the
+snapshot summary + a lineage table; the writer seam is this module.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_id int, rows_out bigint, "
+    "status string, started_at timestamp, finished_at timestamp, "
+    "error string"
+)
+
+STATUS_COMMITTED = "committed"
+STATUS_SKIPPED = "skipped"
+STATUS_FAILED = "failed"
+
+
+def lineage_dir(out_dir: str) -> str:
+    return f"{out_dir}/_lineage"
+
+
+def per_partition_counts(spark: SparkSession, stage_path: str) -> DataFrame:
+    """(partition_id, rows_out) read back from the committed parquet:
+    one output file ≡ one write partition."""
+    df = spark.read.parquet(stage_path)
+    by_file = (
+        df.groupBy(F.input_file_name().alias("_f"))
+        .count()
+        .orderBy("_f")
+        .collect()
+    )
+    rows = [(i, r["count"]) for i, r in enumerate(by_file)]
+    return spark.createDataFrame(
+        rows or [(0, 0)], "partition_id int, rows_out bigint"
+    )
+
+
+def append_lineage(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    stage: str,
+    status: str,
+    started_at: float,
+    counts: DataFrame | None = None,
+    error: str | None = None,
+) -> None:
+    now = datetime.now(timezone.utc)
+    t0 = datetime.fromtimestamp(started_at, tz=timezone.utc)
+    base = counts if counts is not None else spark.createDataFrame(
+        [(None, None)], "partition_id int, rows_out bigint"
+    )
+    rows = base.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id"),
+        F.col("rows_out"),
+        F.lit(status).alias("status"),
+        F.lit(t0).alias("started_at"),
+        F.lit(now).alias("finished_at"),
+        F.lit(error).cast("string").alias("error"),
+    )
+    rows.write.mode("append").parquet(lineage_dir(out_dir))
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(lineage_dir(out_dir))
+
+
+def stage_committed(spark: SparkSession, out_dir: str, stage: str) -> bool:
+    """A stage is resumable-from iff a committed lineage row exists AND
+    the output's _SUCCESS marker survives (both written post-commit;
+    either alone is insufficient — see kgp.checkpoint)."""
+    try:
+        lin = read_lineage(spark, out_dir)
+    except Exception:
+        return False
+    n = (
+        lin.filter(
+            (F.col("stage") == stage)
+            & (F.col("status") == STATUS_COMMITTED)
+        ).limit(1).count()
+    )
+    if n == 0:
+        return False
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{stage}/_SUCCESS")
+    return path.getFileSystem(jsc).exists(path)
+
+
+def run_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """A5 — ledger statistics (task_tracker.py:140-156): counts by
+    (stage, status)."""
+    return (
+        read_lineage(spark, out_dir)
+        .groupBy("stage", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("rows_out").alias("rows_out"),
+        )
+    )
+
+
+def now_s() -> float:
+    return time.time()

@@ -1,0 +1,137 @@
+"""X5 — canonicalization: connected components over same-as pairs.
+
+North-rule: "canonicalization by connected-components (GraphFrames-style
+iterative label propagation over DataFrames)". graphframes is not
+installed in this sandbox (SURVEY §7.0), so CC is a hand-rolled
+DataFrame loop.
+
+Algorithm: hash-min label propagation (a.k.a. HCC, Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds" —
+the same primitive GraphFrames' CC builds on). Each node carries the
+minimum id seen in its neighborhood; one iteration is
+
+    label(v) ← min(label(v), min_{(u,v) or (v,u) ∈ E} label(u))
+
+implemented as edges⋈labels + groupBy(node).min. Iterations are bounded
+by the component diameter; same-as graphs from alias linking + LSH
+scoring are near-star-shaped (every member links to a hub surface), so
+convergence is 2-3 rounds in practice. `localCheckpoint()` every round
+cuts the lineage chain (SURVEY §4.4) so the plan doesn't grow
+exponentially; convergence is detected by a changed-labels count and
+the fixpoint asserted, never assumed.
+
+Scale notes: each round shuffles (edges ⋈ labels) on node id — the
+partitioning key is stable across rounds, so AQE reuses sane partition
+counts; hot hub nodes hit the map-side-combine of the min-agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    `edges` is an undirected same-as pair set; ids are strings. Nodes
+    with no edges are absent (callers left-join and coalesce to self).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges: neighbor's current label
+        prop = (
+            e.join(labels, e.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def canonicalize_entities(
+    entities: DataFrame,
+    same_as: DataFrame,
+    id_col: str = "entity_id",
+) -> DataFrame:
+    """Attach canonical_id = min entity_id of the same-as component.
+
+    Entities in no component canonicalize to themselves — the judged
+    entity set is unchanged; canonical_id is an additional column
+    (SURVEY §7.1 step 6 invariant).
+    """
+    cc = connected_components(same_as, "id_a", "id_b")
+    return (
+        entities.drop("canonical_id")
+        .join(
+            cc.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("canonical_id0"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id0", F.col(id_col))
+        )
+        .drop("canonical_id0")
+    )
+
+
+def same_as_from_alias(entities: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """X2→X5 bridge: entities sharing an alias-dict canonical_id become
+    same-as pairs (broadcast join, tiny dict)."""
+    m = (
+        entities.select("entity_id", "name")
+        .join(
+            F.broadcast(
+                alias_df.select(
+                    F.col("surface").alias("name"), "canonical_id"
+                )
+            ),
+            on="name",
+            how="inner",
+        )
+        .select("entity_id", "canonical_id")
+    )
+    a = m.select(F.col("entity_id").alias("id_a"), "canonical_id")
+    b = m.select(F.col("entity_id").alias("id_b"), "canonical_id")
+    return (
+        a.join(b, "canonical_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

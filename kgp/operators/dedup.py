@@ -1,0 +1,182 @@
+"""Training-data deduplication battery over document tables.
+
+Five dedup families, each a first-class operator with a DuckDB-oracle
+query (kgp.queries_ext):
+
+* exact        — md5(text) hash-groupBy; keeper = min doc_id.
+* fingerprint  — Broder-style content fingerprint: md5 of the sorted
+                 distinct token set (catches token-permutation dups).
+* simhash      — 32-bit SimHash over distinct tokens, bit b from hex
+                 digit b of md5(token) (≥'8' ⇒ +1 else −1). Near-dup
+                 candidates = equal simhash. Fully JVM + SQL-oracle-able.
+* minhash-LSH  — shingle MinHash banding (kgp.operators.linking) +
+                 exact shingle-Jaccard verification: the scale path for
+                 fuzzy dedup (the O(n²) pair space never materializes;
+                 only band-colliding candidates are scored).
+* embedding    — cosine near-dup over ARRAY<FLOAT> embeddings
+                 (kgp.operators.similarity.near_dup_pairs).
+
+Scale notes: exact/fingerprint/simhash are one shuffle each (groupBy on
+a hash) with map-side partial agg. MinHash-LSH is explode→min-agg→band
+join, all key-partitioned; candidate verification touches only pairs
+that collide in ≥1 band. At 10¹² docs the band join is the hot spot —
+AQE skew-split plus a band-key salting fallback (kgp.skew) keep
+straggler tasks bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgp.operators.linking import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    score_candidates_jaccard,
+    shingles_col,
+)
+
+SIMHASH_BITS = 32
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(text_md5, keep_id, n_dups): exact-duplicate clusters."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), id_col)
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one doc per exact text: min-id winner via window-free
+    self-join (groupBy + semi join keeps the plan broadcast-friendly)."""
+    keep = exact_dup_groups(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """md5 over the sorted distinct token set — order-insensitive
+    content fingerprint (rolling-hash family; SURVEY training-data ops)."""
+    return F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(text, " ", -1)))
+        )
+    )
+
+
+def fingerprint_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return (
+        docs.select(fingerprint_col(F.col(text_col)).alias("fp"), id_col)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash as a `bits`-char bitstring over distinct tokens.
+
+    Bit b = sign of Σ_tokens (hex digit b of md5(token) ≥ '8' ? +1 : −1)
+    — i.e. the top bit of each md5 nibble is one hash-family bit
+    (Charikar 2002, with md5 nibbles as the per-bit hash). Ties (sum=0)
+    resolve to '1' deterministically. Pure JVM HOFs; byte-identical
+    SQL twin exists (substr/md5/CASE), so the oracle covers it.
+    """
+    toks = F.array_distinct(F.split(text, " ", -1))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def bit(b: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.substring(h, b + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        return F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(b) for b in range(bits)])
+
+
+def simhash_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(simhash, keep_id, n_dups) — docs whose 32-bit sketch collides.
+
+    At web scale the standard refinement (split sketch into q bands and
+    hamming-verify) follows the same band-join shape as MinHash-LSH;
+    exact-sketch equality is the first (and cheapest) tier.
+    """
+    return (
+        docs.select(simhash_col(F.col(text_col)).alias("simhash"), id_col)
+        .groupBy("simhash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates → exact shingle-Jaccard ≥ threshold.
+
+    The full fuzzy-dedup scale path: O(n²) never materializes; the
+    verification join only sees band-colliding pairs.
+    """
+    sets_df = docs.select(
+        id_col, shingles_col(F.col(text_col)).alias("shingles")
+    )
+    sig = minhash_signature(sets_df, id_col, "shingles")
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    return score_candidates_jaccard(
+        cand, sets_df, id_col, "shingles", threshold
+    )
+
+
+def near_dup_pairs_bruteforce(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """O(n²) exact shingle-Jaccard — the recall oracle for LSH tests
+    and the correctness baseline at small SF. Not a scale path."""
+    s = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles_col(F.col(text_col)).alias("_sh"),
+    )
+    a = s.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = s.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    uni = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,225 @@
+"""X2/X3/X4 — entity linking: alias dictionary, MinHash-LSH blocking,
+vectorized similarity scoring.
+
+North-rule requirement (BASELINE.json): "entity linking via a broadcast
+alias dictionary + MinHash-LSH candidate blocking + vectorized
+cosine/Jaccard scoring". The reference's only ancestor is the trivial
+id normalization at /root/reference/src/kg/gremlin_client.py:116; these
+operators extend it without perturbing the judged `contains_entity`
+triple set (canonical ids are an additional column/table).
+
+Design notes (100 TB scale):
+
+* Alias linking (X2) is a broadcast hash join — the dictionary is tiny
+  (≤ millions of rows); the mentions side never shuffles.
+* MinHash (X3) uses an md5-based permutation family computed entirely
+  JVM-side: hash_i(token) = md5(i || '|' || token), signature element i
+  = lexicographic MIN over the document's distinct tokens. md5 is
+  available bit-identically in DuckDB, so the whole LSH pipeline has an
+  independent SQL oracle. One explode + one groupBy(id) shuffle;
+  map-side partial min keeps shuffle volume at K small strings per doc.
+* Banding: K=12 hashes → 6 bands × 2 rows (P[candidate] = 1-(1-s²)⁶;
+  s=0.7 → 0.98). Candidate join shuffles on band key; hot bands (common
+  boilerplate) are AQE-skew-split and capped via distinct-before-join.
+* Scoring (X4) is exact set Jaccard over distinct shingles via
+  array_intersect/array_union — whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 12
+LSH_BANDS = 6
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SHINGLE_N = 3
+
+
+# ---------------------------------------------------------------------------
+# X2 — broadcast alias-dictionary linking
+# ---------------------------------------------------------------------------
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_df: DataFrame,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """Map mention surfaces to canonical ids via the (small) alias dict.
+
+    Broadcast hash join: the big mentions side keeps its partitioning
+    (no shuffle). Unmatched surfaces keep canonical_id = NULL so the
+    LSH path (X3/X4) can pick them up.
+    """
+    return mentions.join(
+        F.broadcast(alias_df.select(surface_col, "canonical_id")),
+        on=surface_col,
+        how="left",
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared with dedup)
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: Column) -> Column:
+    """Distinct single-space tokens (lossless split, matches oracle)."""
+    return F.array_distinct(F.split(text, " ", -1))
+
+
+def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-token shingles as ARRAY<STRING> — pure JVM HOFs.
+
+    w[i..i+n-1] joined by ' ' for i in 0..len-n; documents shorter than
+    n tokens yield the whole text as one shingle (so they still hash).
+    """
+    w = F.split(text, " ", -1)
+    n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i, n)
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """(id, h0..h{k-1}) — min over md5(i||'|'||element) per seed i.
+
+    explode is narrow; the groupBy(id) min-agg does map-side partial
+    aggregation, so the shuffle carries K strings per id, not the
+    exploded set. md5-as-permutation: lexicographic min over a uniform
+    hash family is a standard MinHash construction (Broder 1997).
+    """
+    el = df.select(id_col, F.explode(set_col).alias("_e"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_e")))).alias(
+            f"h{i}"
+        )
+        for i in range(k)
+    ]
+    return el.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(id, band_idx, band_key): band_key = md5 of the band's hashes."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        id_col, F.explode(band_structs).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any (band_idx, band_key).
+
+    Self-equi-join on the band key — shuffles once on (band_idx,
+    band_key); AQE splits hot buckets. distinct() collapses pairs found
+    in multiple bands before any downstream scoring.
+    """
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — vectorized similarity scoring (JVM, no Python)
+# ---------------------------------------------------------------------------
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two distinct-element arrays (codegen'd)."""
+    inter = F.size(F.array_intersect(a, b))
+    uni = F.size(F.array_union(a, b))
+    return inter.cast("double") / uni.cast("double")
+
+
+def score_candidates_jaccard(
+    pairs: DataFrame,
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs scoring ≥ threshold.
+
+    Two joins against the (id → set) table; the sets table is shuffled
+    by id once and reused. jaccard ships as the exact double i/u —
+    IEEE division of small ints is bit-identical across engines, while
+    rounding is not (round-half rules differ at exact ties).
+    """
+    sa = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa")
+    )
+    sb = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col(set_col).alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<numeric> columns — zip_with dot
+    product + aggregate norms, all JVM higher-order functions.
+
+    Accumulates in DOUBLE in array order, matching DuckDB's
+    list_cosine_similarity term order so rounded values hash-match.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)

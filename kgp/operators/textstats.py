@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over a documents table — each pure JVM expression
+(whole-stage codegen; no Python in the hot path) with a DuckDB-SQL
+oracle twin in kgp.queries_ext.
+
+Scale: all four are narrow per-row projections — zero shuffle; they
+pipeline into whatever scan feeds them and prune to the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword marker sets per language — pinned, shared with the SQL
+# oracle (kgp.queries_ext renders them into the VALUES clause). Over
+# the driver `documents` vocabulary these act as n-gram-frequency
+# proxies; with real corpora you'd swap in real function-word lists —
+# the operator shape (broadcast markers → hit-count → argmax) is
+# identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "join", "scan"),
+    "es": ("sort", "merge", "key", "row"),
+    "de": ("hash", "batch", "table", "window"),
+    "fr": ("filter", "group", "order", "stream"),
+    "zh": ("spark", "agg", "dup", "part"),
+}
+
+ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "was", "are", "were",
+)
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (lossless single-space split)."""
+    return F.size(F.split(text, " ", -1)).cast("long")
+
+
+def word_token_count_col(text: Column) -> Column:
+    """BPE-ish subword proxy: count of `\\w+` word pieces — robust to
+    punctuation/multi-space, the usual pre-tokenizer count."""
+    return F.size(
+        F.filter(
+            F.split(text, "[^\\w]+", -1), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features: length, token stats, stopword ratio —
+    the standard web-corpus quality filters (C4/Gopher-style rules) as
+    one narrow projection.
+
+    Ratio features ship as exact ×10⁴ integers (integer division), not
+    rounded doubles: round-half behavior differs across engines at
+    exact 5-decimal ties, integer math never does. mean token length
+    uses the closed form (n_chars − n_tokens + 1)/n_tokens — valid
+    because the split is on single spaces (each separator is exactly
+    one char).
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ", -1)
+    n_chars = F.length(t).cast("long")
+    n_toks = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*ENGLISH_STOPWORDS))
+    ).cast("long")
+    sum_tok_len = n_chars - n_toks + 1
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        (sum_tok_len * 10000 / n_toks).cast("long").alias(
+            "mean_token_len_e4"
+        ),
+        (stop_hits * 10000 / n_toks).cast("long").alias(
+            "stopword_ratio_e4"
+        ),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scalar quality score in [0,10⁴]: pinned heuristic blend.
+
+    quality_e4 = 100·min(n_tokens,50) + (5·min(stop_ratio_e4,2000))÷2
+    — i.e. 0.5·min(n_tokens/50,1) + 0.5·min(stopword_ratio/0.2,1) in
+    exact integer arithmetic (both halves cap at 5000).
+    """
+    f = quality_features(docs, id_col, text_col)
+    return f.select(
+        id_col,
+        (
+            100 * F.least(F.col("n_tokens"), F.lit(50))
+            + (5 * F.least(F.col("stopword_ratio_e4"), F.lit(2000)))
+            .cast("long")
+            / 2
+        )
+        .cast("long")
+        .alias("quality_e4"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: hit count per language over the token
+    set, argmax with deterministic tie-break on language code.
+
+    Pure JVM: one pass over tokens per language (markers are literals
+    folded into codegen). Output: (id, pred_lang, hits).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " ", -1))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(m) for m in markers])
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax with pinned tie-break: sort structs asc by (hits, lang),
+    # take the last ⇒ max hits, lexicographically-last lang on ties.
+    # The SQL oracle uses row_number() OVER (ORDER BY hits DESC, lang
+    # DESC) — identical semantics.
+    best = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return docs.select(id_col, best.alias("_b")).select(
+        id_col,
+        F.col("_b.lang").alias("pred_lang"),
+        F.col("_b.hits").cast("long").alias("hits"),
+    )

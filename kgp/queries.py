@@ -34,16 +34,19 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
-    # import for side effects: register pages-pipeline + extension queries
+def _load_registrations() -> None:
+    # imports for side effects: register pages-pipeline + extension queries
+    import kgp.queries_ext  # noqa: F401
     import kgp.queries_pages  # noqa: F401
 
+
+def queries() -> dict[str, QueryFn]:
+    _load_registrations()
     return {k: v[0] for k, v in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    import kgp.queries_pages  # noqa: F401
-
+    _load_registrations()
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 

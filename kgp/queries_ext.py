@@ -1,0 +1,627 @@
+"""Oracle-gated extension queries: dedup battery, entity linking +
+canonicalization, similarity search, text analysis, window/rollup ops.
+
+Every query here has a DuckDB-SQL twin executed by the driver on the
+same parquet. Exactness policy (driver hashes raw values):
+
+* ratios ship as exact doubles (IEEE division of small ints is
+  bit-identical across engines) or ×10⁴/×10⁶ integers via floor /
+  integer division — never round(), whose half-way rule differs.
+* md5 is the shared hash family: identical hex in Spark and DuckDB, so
+  MinHash/SimHash/fingerprint sketches are byte-comparable.
+* cosine accumulates in double in array order on both sides (Spark
+  aggregate() left-fold ≡ DuckDB list_sum over the comprehension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgp.gazetteer import DOCS_ALIAS, docs_alias_sql_values
+from kgp.operators import dedup as D
+from kgp.operators import similarity as S
+from kgp.operators import textstats as T
+from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+from kgp.operators.linking import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    link_mentions,
+)
+from kgp.queries import _doc_mentions, register
+from kgp.queries import q_kg_entities
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_DOCS = "SELECT doc_id, text FROM documents"
+
+# 3-token shingle sets (matches kgp.operators.linking.shingles_col)
+_SHINGLE_CTE = """
+wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  FOR i IN range(1, len(w) - 1)])
+         END AS sh
+       FROM wt)
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{i}|' || e)) AS h{i}" for i in range(MINHASH_K)
+)
+
+
+def _band_key_sql(b: int) -> str:
+    cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+    return "md5(" + " || '|' || ".join(cols) + ")"
+
+
+_BAND_SELECTS = "\nUNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+_MINHASH_CTE = f"""
+{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS e FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM ex GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """floor(cosine·10⁴) with in-order double accumulation."""
+    def dot(x, y):
+        return (
+            f"list_sum([(({x}.embedding[i])::DOUBLE) * "
+            f"(({y}.embedding[i])::DOUBLE) "
+            f"FOR i IN range(1, len({x}.embedding) + 1)])"
+        )
+    return (
+        f"CAST(floor({dot(a, b)} / "
+        f"(sqrt({dot(a, a)}) * sqrt({dot(b, b)})) * 10000) AS BIGINT)"
+    )
+
+
+_SIGN_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END) "
+    for i in range(S.SIGN_LSH_BITS)
+)
+
+
+# ---------------------------------------------------------------------------
+# deduplication battery (documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dup_groups(docs)
+
+
+@register(
+    "dedup_fingerprint_groups",
+    """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.fingerprint_dup_groups(docs)
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN strpos('89abcdef', substr(md5(tok), {b + 1}, 1)) > 0 "
+    f"THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(D.SIMHASH_BITS)
+)
+_SIMHASH_CONCAT = " || ".join(
+    f"(CASE WHEN v{b} >= 0 THEN '1' ELSE '0' END)"
+    for b in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash_groups",
+    f"""
+WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM toks GROUP BY doc_id)
+SELECT {_SIMHASH_CONCAT} AS simhash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM votes GROUP BY 1
+""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_dup_groups(docs)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_MINHASH_CTE}
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+) WHERE jaccard >= 0.5
+""",
+)
+def q_dedup_minhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.near_dup_pairs_minhash(docs, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+WITH {_SHINGLE_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def q_dedup_ngram_bruteforce(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.near_dup_pairs_bruteforce(docs, threshold=0.5)
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS sim_e4
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE sim_e4 >= 8000
+""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.near_dup_pairs_embedding(emb, threshold=8000, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# entity linking + canonicalization (documents KG)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kg_linked_mentions",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+)
+SELECT m.doc_id, m.surface, m.label,
+       COALESCE(ad.canonical_id,
+                'entity:' || replace(lower(m.surface), ' ', '_')) AS canonical_id
+FROM mentions m LEFT JOIN {docs_alias_sql_values()} ON m.surface = ad.surface
+""",
+)
+def q_kg_linked_mentions(spark, sf_dir):
+    """X2 — broadcast alias-dictionary linking over document mentions;
+    unmatched surfaces fall back to the normalized id (F2)."""
+    mentions = _doc_mentions(spark, sf_dir).drop("first_offset")
+    alias = spark.createDataFrame(
+        DOCS_ALIAS, schema="surface string, canonical_id string"
+    )
+    return link_mentions(mentions, alias).withColumn(
+        "canonical_id",
+        F.coalesce(
+            "canonical_id",
+            F.concat(
+                F.lit("entity:"),
+                F.regexp_replace(F.lower(F.col("surface")), " ", "_"),
+            ),
+        ),
+    )
+
+
+@register(
+    "kg_canonical_entities",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+),
+ents AS (
+  SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+         min(surface) AS name
+  FROM capped WHERE rnk <= 10 GROUP BY 1
+),
+am AS (SELECT e.entity_id, ad.canonical_id AS grp
+       FROM ents e JOIN {docs_alias_sql_values()} ON e.name = ad.surface),
+-- only groups with >= 2 members form same-as edges / CC components
+grpsz AS (SELECT grp, count(*) AS n, min(entity_id) AS canon FROM am GROUP BY 1)
+SELECT e.entity_id,
+       CASE WHEN g.n >= 2 THEN g.canon ELSE e.entity_id END AS canonical_id
+FROM ents e
+LEFT JOIN am ON e.entity_id = am.entity_id
+LEFT JOIN grpsz g ON am.grp = g.grp
+""",
+)
+def q_kg_canonical_entities(spark, sf_dir):
+    """X5 — connected-components canonicalization over same-as pairs
+    derived from the alias dictionary (X2→X5 bridge). The SQL oracle
+    computes the closed form (min entity_id per alias group), which is
+    exactly what CC must converge to."""
+    ents = q_kg_entities(spark, sf_dir)
+    alias = spark.createDataFrame(
+        DOCS_ALIAS, schema="surface string, canonical_id string"
+    )
+    same = same_as_from_alias(ents, alias)
+    return canonicalize_entities(ents, same).select(
+        "entity_id", "canonical_id"
+    )
+
+
+@register(
+    "kg_entity_doc_counts_salted",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+)
+SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM capped WHERE rnk <= 10
+GROUP BY 1
+""",
+)
+def q_kg_entity_doc_counts_salted(spark, sf_dir):
+    """X6 — the head-entity aggregation via two-phase salted
+    count-distinct; SAME oracle as the plain kg_entity_doc_counts, so
+    the independent SQL check proves salting preserves semantics."""
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+    from kgp.skew import salted_count_distinct
+
+    capped = _doc_capped(spark, sf_dir).select(
+        normalize_entity_id(F.col("surface")).alias("entity_id"), "doc_id"
+    )
+    return salted_count_distinct(
+        capped, "entity_id", "doc_id", n_salts=16, out_col="n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — pattern-based (subj, pred, obj) triple extraction
+# ---------------------------------------------------------------------------
+
+_SVO_PAT = r"(\w+) (join|scan|merge|sort|filter) (\w+)"
+
+
+@register(
+    "svo_pattern_triples",
+    f"""
+SELECT DISTINCT doc_id,
+       unnest(regexp_extract_all(text, '{_SVO_PAT}', 1)) AS subj,
+       unnest(regexp_extract_all(text, '{_SVO_PAT}', 2)) AS pred,
+       unnest(regexp_extract_all(text, '{_SVO_PAT}', 3)) AS obj
+FROM documents
+""",
+)
+def q_svo_triples(spark, sf_dir):
+    """X1 — dependency-pattern triple extraction, relational form:
+    regexp_extract_all per capture group, zipped and exploded. preds
+    are != 'contains_entity' so the judged triple set is untouched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pat = F.lit(_SVO_PAT)
+    return (
+        docs.select(
+            "doc_id",
+            F.arrays_zip(
+                F.regexp_extract_all("text", pat, 1).alias("subj"),
+                F.regexp_extract_all("text", pat, 2).alias("pred"),
+                F.regexp_extract_all("text", pat, 3).alias("obj"),
+            ).alias("m"),
+        )
+        .select("doc_id", F.explode("m").alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.subj").alias("subj"),
+            F.col("m.pred").alias("pred"),
+            F.col("m.obj").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_ANN_Q = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+WITH q AS ({_ANN_Q}),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_cos_sql('q', 'n')} AS sim_e4
+  FROM embeddings n, q WHERE n.vec_id <> q.vec_id
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_e4 DESC, neighbor_id ASC)
+        AS "rank" FROM scored)
+SELECT query_id, neighbor_id, sim_e4, CAST("rank" AS INT) AS "rank"
+FROM r WHERE "rank" <= 10
+""",
+)
+def q_ann_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "ann_topk_lsh",
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT * FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_cos_sql('q', 'n')} AS sim_e4
+  FROM b n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_e4 DESC, neighbor_id ASC)
+        AS "rank" FROM scored)
+SELECT query_id, neighbor_id, sim_e4, CAST("rank" AS INT) AS "rank"
+FROM r WHERE "rank" <= 10
+""",
+)
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(text, '[^\w]+'),
+                            x -> x <> '')) AS BIGINT) AS n_word_tokens
+FROM documents
+""",
+)
+def q_text_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count_col(F.col("text")).alias("n_tokens"),
+        T.word_token_count_col(F.col("text")).alias("n_word_tokens"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS) + "]"
+
+_QF_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, lower(x))))
+            AS BIGINT) AS stop_hits,
+       (CAST(length(text) AS BIGINT) - len(w) + 1) * 10000 // len(w)
+         AS mean_token_len_e4,
+       CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, lower(x))))
+            AS BIGINT) * 10000 // len(w) AS stopword_ratio_e4
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@register("text_quality_features", _QF_SQL)
+def q_text_quality_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.quality_features(docs)
+
+
+@register(
+    "text_quality_score",
+    f"""
+SELECT doc_id,
+       100 * LEAST(n_tokens, 50)
+         + (5 * LEAST(stopword_ratio_e4, 2000)) // 2 AS quality_e4
+FROM ({_QF_SQL})
+""",
+)
+def q_text_quality_score(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.quality_score(docs)
+
+
+_LANG_SELECTS = "\nUNION ALL ".join(
+    f"SELECT doc_id, '{lang}' AS lang, "
+    f"len(list_intersect(tok, [{', '.join(chr(39) + m + chr(39) for m in markers)}])) AS hits FROM toks"
+    for lang, markers in sorted(T.LANG_MARKERS.items())
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+              FROM documents),
+s AS ({_LANG_SELECTS}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s)
+SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+FROM r WHERE rn = 1
+""",
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.lang_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# window / rollup / centroid coverage (events, embeddings)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_user_gaps",
+    """
+SELECT * FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+""",
+)
+def q_events_user_gaps(spark, sf_dir):
+    """Window lag: microseconds since the user's previous event (exact
+    integer — parquet timestamps are NTZ, read as UTC on both sides)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+
+
+@register(
+    "events_topn_per_user",
+    """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value, row_number() OVER (
+    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_events_topn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "events_rollup_by_type",
+    """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(event_type) AS BIGINT) AS g
+FROM events GROUP BY ROLLUP(event_type)
+""",
+)
+def q_events_rollup(spark, sf_dir):
+    """Rollup with the grand-total key coalesced to '(all)' — NULL-free
+    output keeps the driver's sorted-value hashing well-defined."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("event_type").cast("long").alias("g"),
+    ).withColumn("event_type", F.coalesce("event_type", F.lit("(all)")))
+
+
+@register(
+    "embedding_monthly_centroid",
+    """
+SELECT CAST(date_trunc('month', e.ts) AS DATE) AS month,
+       CAST(idx AS INT) AS idx,
+       CAST(sum(val_e6) AS BIGINT) AS sum_e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT ev.ts,
+         unnest(range(len(m.embedding))) AS idx,
+         CAST(floor((unnest(m.embedding))::DOUBLE * 1000000) AS BIGINT)
+           AS val_e6
+  FROM embeddings m JOIN events ev ON m.vec_id = ev.event_id
+) e
+GROUP BY 1, 2
+""",
+)
+def q_embedding_monthly_centroid(spark, sf_dir):
+    """A4 — monthly embedding centroid (src/analytics/trend.py:10-16):
+    element-wise sums as exact ×10⁶ integers so the oracle hashes
+    identically (float sum order is engine-dependent; integer sum is
+    associative)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        emb.join(ev, emb.vec_id == ev.event_id)
+        .select(
+            F.to_date(F.date_trunc("month", "ts")).alias("month"),
+            F.posexplode("embedding").alias("idx", "val"),
+        )
+        .groupBy("month", "idx")
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1000000).cast("long")
+            ).alias("sum_e6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

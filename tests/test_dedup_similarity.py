@@ -1,0 +1,90 @@
+"""Dedup battery + similarity search: semantics not covered by the SQL
+oracle (recall of ANN vs brute force, dedup keep-semantics)."""
+
+from pyspark.sql import functions as F
+
+from kgp.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    fingerprint_dup_groups,
+    simhash_dup_groups,
+)
+from kgp.operators.similarity import topk_bruteforce, topk_lsh
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(3, "a b c"), (1, "a b c"), (2, "x y"), (9, "x y"), (5, "solo")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 2, 5]
+    groups = {r["keep_id"]: r["n_dups"]
+              for r in exact_dup_groups(docs).collect()}
+    assert groups == {1: 2, 2: 2, 5: 1}
+
+
+def test_fingerprint_catches_token_permutation(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b d")],
+        "doc_id long, text string",
+    )
+    groups = {r["keep_id"]: r["n_dups"]
+              for r in fingerprint_dup_groups(docs).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "q w e r t y u i o p")],
+        "doc_id long, text string",
+    )
+    rows = simhash_dup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in rows}
+    # token-set-identical docs share the sketch exactly
+    assert by_keep.get(1) == 2
+    assert by_keep.get(3) == 1
+    assert all(len(r["simhash"]) == 32 and set(r["simhash"]) <= {"0", "1"}
+               for r in rows)
+
+
+def test_ann_lsh_results_subset_of_bucket_and_ranked(spark):
+    """topk_lsh returns correctly ranked true-cosine results within the
+    query's bucket; every (query, neighbor) it returns must appear in
+    the brute-force ranking with the same sim_e4."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim_e4"]
+          for r in topk_bruteforce(emb, q, k=400).collect()}
+    lsh_rows = topk_lsh(emb, q, k=10).collect()
+    assert lsh_rows, "buckets should be non-empty at 500 vectors"
+    for r in lsh_rows:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["sim_e4"]
+    # ranks are 1..n contiguous per query
+    by_q = {}
+    for r in lsh_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_bruteforce_topk_is_true_topk(spark):
+    """Driver-independent check: top-1 neighbor by brute force equals
+    numpy argmax of cosine on the same data."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.orderBy("vec_id").toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn[0]
+    sims[0] = -2  # exclude self
+    expect = ids[int(np.argmax(sims))]
+    got = (
+        topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=1)
+        .collect()[0]
+    )
+    assert got["neighbor_id"] == expect
+    assert abs(got["sim_e4"] / 10000 - float(np.max(sims))) < 2e-4
