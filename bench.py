@@ -69,6 +69,11 @@ def main() -> None:
         "tpch_pricing_summary",
         "top_customers_by_revenue",
         "events_monthly_by_type",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_groups",
+        "ann_topk_bruteforce",
+        "text_quality_score",
+        "kg_canonical_entities",
     ]:
         fn = all_queries()[name]
         t0 = time.perf_counter()

@@ -53,3 +53,80 @@ def q_pages_fresh(spark, sf_dir):
         .filter(F.col("warc_ts") >= F.lit("2024-07-01"))
         .select("url", "warc_ts", "lang")
     )
+
+
+@register("pages_linked_entities", None)
+def q_pages_linked(spark, sf_dir):
+    """X2 — alias-dict linking of page entities (pages gazetteer has
+    real alias groups: Ada Lovelace / A. Lovelace / Lovelace …)."""
+    from kgp.gazetteer import ALIAS_DICT
+    from kgp.operators.linking import link_mentions
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    alias = spark.createDataFrame(
+        [(s, c) for s, _, c in ALIAS_DICT],
+        "surface string, canonical_id string",
+    )
+    return link_mentions(cap_mentions(m), alias)
+
+
+@register("pages_canonical_entities", None)
+def q_pages_canonical(spark, sf_dir):
+    """X5 — CC canonicalization of the pages entity table."""
+    from kgp.gazetteer import ALIAS_DICT
+    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    ents = build_entities(cap_mentions(m))
+    alias = spark.createDataFrame(
+        [(s, c) for s, _, c in ALIAS_DICT],
+        "surface string, canonical_id string",
+    )
+    return canonicalize_entities(ents, same_as_from_alias(ents, alias))
+
+
+@register("pages_near_dup_pairs", None)
+def q_pages_near_dups(spark, sf_dir):
+    """MinHash-LSH fuzzy dedup over the extracted page text."""
+    from kgp.operators.dedup import near_dup_pairs_minhash
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return near_dup_pairs_minhash(
+        docs, id_col="url", text_col="extracted_text", threshold=0.5
+    )
+
+
+@register("pages_html_media_features", None)
+def q_pages_media(spark, sf_dir):
+    """Multimodal: typed metadata over the binary html column."""
+    from kgp.operators.multimodal import media_features
+
+    return media_features(_pages(spark, sf_dir))
+
+
+@register("pages_frame_samples", None)
+def q_pages_frames(spark, sf_dir):
+    """Multimodal: deterministic frame sampling at the 30 s cadence."""
+    from kgp.operators.multimodal import frame_sample_stub
+
+    return frame_sample_stub(_pages(spark, sf_dir))
+
+
+@register("pages_quality_scores", None)
+def q_pages_quality(spark, sf_dir):
+    """Text-quality scoring over extracted page text."""
+    from kgp.operators.textstats import quality_score
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return quality_score(docs, id_col="url", text_col="extracted_text")
+
+
+@register("pages_lang_id", None)
+def q_pages_lang(spark, sf_dir):
+    """Marker-based language ID over extracted page text."""
+    from kgp.operators.textstats import lang_id
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return lang_id(docs, id_col="url", text_col="extracted_text")

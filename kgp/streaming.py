@@ -1,0 +1,107 @@
+"""Structured-Streaming wrapper over the batch KG stages (SURVEY §2.9).
+
+The reference has no true streaming — its "queue of ingest jobs" is
+FastAPI BackgroundTasks + an asyncio ledger (/root/reference/src/api/
+routers/ingest.py:94-117, src/api/task_tracker.py:31-156). The Spark
+twin: `readStream` on the pages directory (new parquet files = newly
+crawled batches) → `foreachBatch` running the SAME batch stage
+functions → append sinks, with exactly-once bookkeeping from the
+streaming checkpoint + batch-id dedup.
+
+Design:
+* foreachBatch (not stream-native operators) because the pipeline's
+  per-batch semantics ARE the batch semantics — one code path, no
+  drift between modes, and the triple-dedup against already-written
+  output needs a join with the sink, which pure streaming ops forbid.
+* watermark/event-time ops are available for the windowed-aggregation
+  use case (events_windowed_counts below) and tested with a rate
+  source shape; the KG path needs none (stateless per page).
+* at-least-once → effectively-once: foreachBatch may replay a batch
+  after crash; the sink write is an idempotent anti-join append
+  (triples are keyed (subj, pred, obj) — replays insert nothing new).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp import schemas
+
+
+def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """readStream over a growing directory of pages parquet."""
+    return (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+
+
+def triples_for_batch(batch_df: DataFrame) -> DataFrame:
+    """The batch pipeline applied to one micro-batch (shared code)."""
+    from kgp.operators.ner import gazetteer_df, mentions_relational
+    from kgp.operators.segment import extract_docs
+    from kgp.operators.triples import build_triples, cap_mentions
+
+    spark = batch_df.sparkSession
+    docs = extract_docs(batch_df)
+    mentions = mentions_relational(docs, gazetteer_df(spark))
+    return build_triples(cap_mentions(mentions))
+
+
+def start_kg_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous KG construction: new page files → triples appended
+    idempotently. Returns the StreamingQuery (caller awaits/stops)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_triples = triples_for_batch(batch_df)
+        try:
+            existing = spark.read.parquet(out_dir).select(
+                "subj", "pred", "obj"
+            )
+            new_triples = new_triples.join(
+                existing, ["subj", "pred", "obj"], "left_anti"
+            )
+        except Exception:
+            pass  # first batch: sink does not exist yet
+        new_triples.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def events_windowed_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    standard late-data-tolerant streaming aggregation, provided as the
+    engine's windowed-agg operator (reference has none; SURVEY §2.9).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

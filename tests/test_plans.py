@@ -1,0 +1,71 @@
+"""Physical-plan hygiene: pushdown, pruning, broadcast, shuffle count.
+
+These assertions encode SURVEY §4's "free from Catalyst" claims — if a
+refactor breaks pushdown or inflates shuffles, these fail before any
+benchmark does.
+"""
+
+from pyspark.sql import functions as F
+
+from kgp.operators.ner import gazetteer_df, mentions_relational
+from kgp.operators.segment import extract_docs
+from kgp.synth import synth_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark, tmp_path):
+    p = str(tmp_path / "pages")
+    synth_pages(spark, 50).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter(F.col("warc_ts") >= F.lit("2024-07-01"))
+        .select("url", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(warc_ts)" in plan or \
+           "GreaterThanOrEqual(warc_ts" in plan, plan
+    # html (the fat binary column) must not be read
+    scan_schema = plan[plan.index("ReadSchema"):].split("\n")[0]
+    assert "html" not in scan_schema, scan_schema
+    assert "url" in scan_schema and "lang" in scan_schema
+
+
+def test_segmentation_is_shuffle_free(spark):
+    """S3/S4 must be a narrow projection: no Exchange in the plan."""
+    plan = _plan(extract_docs(synth_pages(spark, 20)))
+    assert "Exchange" not in plan, plan
+
+
+def test_gazetteer_match_broadcasts_small_side(spark):
+    docs = extract_docs(synth_pages(spark, 20))
+    plan = _plan(mentions_relational(docs, gazetteer_df(spark)))
+    assert "Broadcast" in plan, plan
+    # the big (docs) side must not shuffle for the join
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dim_join_uses_broadcast_hash_join(spark):
+    """top_customers: the customer dim is broadcast, orders never
+    shuffles on the join key."""
+    from kgp.queries import queries
+
+    df = queries()["top_customers_by_revenue"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triples_build_has_no_extra_shuffles(spark):
+    """pages→triples: shuffles only where semantics require them (the
+    per-doc cap window + the edge dedup) — ≤ 2 hash exchanges."""
+    from kgp.operators.triples import build_triples, cap_mentions
+
+    docs = extract_docs(synth_pages(spark, 20))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    plan = _plan(build_triples(cap_mentions(m)))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} shuffles:\n{plan}"

@@ -1,0 +1,100 @@
+"""Structured-Streaming wrapper + multimodal binary-column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp.operators.multimodal import (
+    decode_image_stub,
+    frame_sample_stub,
+    html_to_text,
+    media_features,
+)
+from kgp.streaming import start_kg_stream, triples_for_batch
+from kgp.synth import synth_pages
+
+
+def test_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_pages = synth_pages(spark, 120).cache()
+    all_pages.filter(F.col("url").isNotNull()).limit(0).count()  # warm
+    # chunk 1 arrives
+    synth_pages(spark, 60).write.mode("append").parquet(pages_dir)
+    q = start_kg_stream(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    # chunk 2 arrives (rows 60..119 — regenerate full then anti-join)
+    import pandas as pd
+
+    from kgp.synth import synth_pages_pdf
+    pdf2 = synth_pages_pdf(60, start=60)
+    spark.createDataFrame(pdf2).write.mode("append").parquet(pages_dir)
+    q2 = start_kg_stream(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("subj", "pred", "obj").collect())
+    )
+    expect = sorted(
+        map(tuple, triples_for_batch(synth_pages(spark, 120))
+            .select("subj", "pred", "obj").collect())
+    )
+    assert got == expect
+
+    # replaying with the same checkpoint adds nothing (idempotent sink)
+    q3 = start_kg_stream(spark, pages_dir, out_dir, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_html_binary_roundtrip_byte_identical(spark):
+    pages = synth_pages(spark, 80)
+    joined = (
+        html_to_text(pages)
+        .join(pages.select("url", "text"), "url")
+        .withColumn("ok", F.col("decoded_text") == F.col("text"))
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+    assert joined.count() == 80
+
+
+def test_media_features_sizes(spark):
+    pages = synth_pages(spark, 30)
+    feats = media_features(pages)
+    chk = feats.join(
+        pages.select("url", F.length("html").cast("long").alias("want")),
+        "url",
+    )
+    assert chk.filter(F.col("n_bytes") != F.col("want")).count() == 0
+    assert feats.filter(F.length("payload_md5") != 32).count() == 0
+
+
+def test_image_stub_raises_from_executaccording_plumbing(spark):
+    pages = synth_pages(spark, 5)
+    df = decode_image_stub(pages)
+    assert df.schema.simpleString() == (
+        "struct<url:string,width:int,height:int,channels:int>"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        df.count()
+
+
+def test_frame_sample_counts_match_windows(spark):
+    from kgp.operators.segment import extract_docs
+
+    pages = synth_pages(spark, 50)
+    frames = frame_sample_stub(pages)
+    per_url = frames.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_md5").alias("n_uniq"),
+    )
+    # one frame per 30 s window == n_segments from the segmentation op
+    docs = extract_docs(pages).select("url", "n_segments")
+    bad = per_url.join(docs, "url").filter(
+        (F.col("n_frames") != F.col("n_segments"))
+        | (F.col("n_uniq") != F.col("n_frames"))
+    )
+    assert bad.count() == 0
