@@ -67,19 +67,14 @@ def main() -> None:
 
     results = {}
     for cores in (8, 32):
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".py", delete=False
-        ) as f:
-            f.write(RUNNER)
-            script = f.name
+        # -c keeps sys.path[0] = cwd (= repo) so `import kgp` resolves
         out = subprocess.run(
-            [sys.executable, script, str(cores), pages_path],
+            [sys.executable, "-c", RUNNER, str(cores), pages_path],
             check=True, cwd=repo, capture_output=True, text=True,
         )
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
-        os.unlink(script)
 
     t8, t32 = results[8]["sec"], results[32]["sec"]
     speedup = t8 / t32
