@@ -588,6 +588,46 @@ def q_events_rollup(spark, sf_dir):
 
 
 @register(
+    "events_asof_last_purchase",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type <> 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       COALESCE(r.purchase_event_id, -1) AS purchase_event_id
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_events_asof(spark, sf_dir):
+    """As-of join (X-join, SURVEY §2.4): every non-purchase event gets
+    the user's most recent purchase at-or-before it. Spark side is the
+    union+window plan (kgp.operators.asof); the oracle is DuckDB's
+    native ASOF JOIN — two independent algorithms, one answer."""
+    from kgp.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(left, right, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce("purchase_event_id", F.lit(-1)).alias(
+            "purchase_event_id"
+        ),
+    )
+
+
+@register(
     "embedding_monthly_centroid",
     """
 SELECT CAST(date_trunc('month', e.ts) AS DATE) AS month,
