@@ -63,6 +63,38 @@ def main() -> None:
     kg_sec = time.perf_counter() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
 
+    # fused single-shuffle physical plan (kgp.plans.pipeline)
+    from kgp.plans.pipeline import build_kg_fused
+
+    def run_fused(pages_df):
+        t, e = build_kg_fused(pages_df)
+        return t.count(), e.count()
+
+    t0 = time.perf_counter()
+    run_fused(pages)
+    cold["kg_pipeline_fused"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    nt_f, _ = run_fused(pages)
+    fused_sec = time.perf_counter() - t0
+    timings["kg_pipeline_fused"] = round(fused_sec, 3)
+    assert nt_f == n_triples, "fused plan diverged from composable plan"
+
+    # Arrow mapInPandas extractor path (the real-model UDF shape)
+    from kgp.operators.ner import mentions_arrow
+
+    def run_arrow(pages_df):
+        docs = extract_docs(pages_df)
+        capped = cap_mentions(mentions_arrow(docs))
+        return build_triples(capped).count()
+
+    t0 = time.perf_counter()
+    run_arrow(pages)
+    cold["kg_pipeline_arrow"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    nt_a = run_arrow(pages)
+    timings["kg_pipeline_arrow"] = round(time.perf_counter() - t0, 3)
+    assert nt_a == n_triples, "arrow extractor diverged"
+
     for name in [
         "kg_triples",
         "kg_entity_doc_counts",
@@ -95,6 +127,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "kg_docs_per_sec": round(n_pages / kg_sec, 1),
+                "kg_docs_per_sec_fused": round(n_pages / fused_sec, 1),
                 "kg_pages": n_pages,
                 "kg_triples": n_triples,
                 "kg_entities": n_entities,

@@ -29,7 +29,7 @@ from kgp.operators.linking import (
     link_mentions,
 )
 from kgp.queries import _doc_mentions, register
-from kgp.queries import q_kg_entities
+from kgp.queries import q_kg_entities, q_kg_triples
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -512,6 +512,166 @@ FROM r WHERE rn = 1
 def q_text_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return T.lang_id(docs)
+
+
+@register(
+    "temporal_search_filtered",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+meta AS (
+  SELECT m.vec_id, m.embedding, ev.user_id, ev.event_type, ev.ts
+  FROM embeddings m JOIN events ev ON m.vec_id = ev.event_id
+),
+scored AS (
+  SELECT n.vec_id, n.user_id, {_cos_sql('q', 'n')} AS sim_e4
+  FROM meta n, q
+  WHERE n.event_type = 'view'
+    AND n.ts >= TIMESTAMP '2024-01-01 06:00:00'
+    AND n.ts < TIMESTAMP '2024-01-02 00:00:00'
+    AND n.vec_id <> 0
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sim_e4 DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, user_id, sim_e4 FROM (
+  SELECT *, row_number() OVER (ORDER BY sim_e4 DESC, vec_id ASC) AS rk
+  FROM dedup WHERE rn = 1
+) WHERE rk <= 20
+""",
+)
+def q_temporal_search(spark, sf_dir):
+    """§3.2 temporal-search lifecycle, relational form: score vs query
+    embedding → metadata filter chain (P5: type + time range) → dedup
+    per user (A6) → top-k (T2) with deterministic tiebreak. Predicates
+    run BEFORE scoring/top-k (pushdown), unlike the reference's
+    over-fetch-then-filter (temporal_search.py:72-108)."""
+    from pyspark.sql import Window
+
+    from kgp.operators.linking import cosine_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    meta = (
+        emb.join(ev, emb.vec_id == ev.event_id)
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") >= F.lit("2024-01-01 06:00:00"))
+            & (F.col("ts") < F.lit("2024-01-02 00:00:00"))
+            & (F.col("vec_id") != 0)
+        )
+        .select("vec_id", "user_id", "embedding")
+    )
+    scored = meta.join(F.broadcast(qv)).withColumn(
+        "sim_e4",
+        F.floor(cosine_col(F.col("_qv"), F.col("embedding")) * 10000)
+        .cast("long"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.desc("sim_e4"), F.asc("vec_id")
+    )
+    w_all = Window.orderBy(F.desc("sim_e4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_user))
+        .filter(F.col("rn") == 1)
+        .withColumn("rk", F.row_number().over(w_all))
+        .filter(F.col("rk") <= 20)
+        .select("vec_id", "user_id", "sim_e4")
+    )
+
+
+@register(
+    "kg_doc_entity_sets",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+)
+SELECT doc_id,
+       list_sort(list(DISTINCT 'entity:' || replace(lower(surface), ' ', '_')))
+         AS entities,
+       CAST(count(DISTINCT surface) AS BIGINT) AS n_entities
+FROM capped WHERE rnk <= 10
+GROUP BY doc_id
+""",
+)
+def q_kg_doc_entity_sets(spark, sf_dir):
+    """A3 — cross-segment entity union per document
+    (src/api/routers/temporal.py:247-250): sorted distinct entity-id
+    array per doc (sorted so the array compares deterministically)."""
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+
+    capped = _doc_capped(spark, sf_dir)
+    return (
+        capped.select(
+            "doc_id",
+            normalize_entity_id(F.col("surface")).alias("eid"),
+            "surface",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_set("eid")).alias("entities"),
+            F.countDistinct("surface").alias("n_entities"),
+        )
+    )
+
+
+@register(
+    "kg_graph_export_counts",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+),
+t AS (SELECT DISTINCT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+             'entity:' || replace(lower(surface), ' ', '_') AS obj
+      FROM capped WHERE rnk <= 10)
+SELECT CAST((SELECT count(DISTINCT obj) FROM t)
+            + (SELECT count(DISTINCT subj) FROM t) AS BIGINT) AS total_nodes,
+       CAST((SELECT count(*) FROM t) AS BIGINT) AS total_edges
+""",
+)
+def q_kg_graph_export_counts(spark, sf_dir):
+    """S9/A2 — whole-graph export summary (gremlin_client.py:154-188,
+    247-269): node + edge counts of the materialized graph."""
+    t = q_kg_triples(spark, sf_dir).select("subj", "obj").distinct()
+    return t.agg(
+        (
+            F.countDistinct("obj") + F.countDistinct("subj")
+        ).alias("total_nodes"),
+        F.count(F.lit(1)).alias("total_edges"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,16 @@ def q_pages_lang(spark, sf_dir):
 
     docs = extract_docs(_pages(spark, sf_dir))
     return lang_id(docs, id_col="url", text_col="extracted_text")
+
+
+@register("pages_embeddings", None)
+def q_pages_embeddings(spark, sf_dir):
+    """F9 — deterministic mock embeddings over extracted page text
+    (md5-seeded deviation from the reference's process-randomized
+    hash(); SURVEY §2 F9)."""
+    from kgp.operators.embed import with_embedding
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return with_embedding(
+        docs.select("url", "extracted_text"), text_col="extracted_text"
+    ).select("url", "embedding")
