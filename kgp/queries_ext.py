@@ -788,6 +788,28 @@ def q_events_asof(spark, sf_dir):
 
 
 @register(
+    "events_range_pairs",
+    """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+""",
+)
+def q_events_range_pairs(spark, sf_dir):
+    """Range join (X-join): same-user event pairs within 10 minutes.
+    Spark side is the 3-replica bucketed equi-join
+    (kgp.operators.rangejoin); the oracle evaluates the inequality
+    join directly — two algorithms, one answer."""
+    from kgp.operators.rangejoin import range_join_within
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_join_within(ev, key="user_id", window_s=600.0)
+
+
+@register(
     "embedding_monthly_centroid",
     """
 SELECT CAST(date_trunc('month', e.ts) AS DATE) AS month,

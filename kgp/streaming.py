@@ -81,6 +81,44 @@ def start_kg_stream(
     )
 
 
+def stateful_running_counts(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user event counts + value totals that SURVIVE across
+    micro-batches — the engine's template for arbitrary keyed state
+    (sessionization, dedup-across-batches, incremental aggregates).
+
+    State schema: (n BIGINT, total DOUBLE) per user_id; each batch
+    emits the updated running totals for users seen in that batch.
+    Arrow-batched like every other UDF surface in this engine.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id bigint, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [total]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def events_windowed_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",
