@@ -246,6 +246,62 @@ def q_kg_linked_mentions(spark, sf_dir):
 
 
 @register(
+    "kg_entity_cooccurrence",
+    """
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+),
+de AS (SELECT DISTINCT doc_id,
+              'entity:' || replace(lower(surface), ' ', '_') AS eid
+       FROM capped WHERE rnk <= 10)
+SELECT a.eid AS entity_a, b.eid AS entity_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid < b.eid
+GROUP BY 1, 2
+""",
+)
+def q_kg_entity_cooccurrence(spark, sf_dir):
+    """2-hop graph query: entity co-occurrence via shared documents
+    (the relational form of entity↔doc↔entity traversal, J3
+    generalized). Self-join on the doc key — at scale this shuffles on
+    doc_id once; per-doc fan-out is bounded by the cap (≤ 10 ⇒ ≤ 45
+    pairs/doc), so no hot-key blowup by construction."""
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+
+    de = (
+        _doc_capped(spark, sf_dir)
+        .select(
+            "doc_id",
+            normalize_entity_id(F.col("surface")).alias("eid"),
+        )
+        .distinct()
+    )
+    a = de.select("doc_id", F.col("eid").alias("entity_a"))
+    b = de.select("doc_id", F.col("eid").alias("entity_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "kg_canonical_entities",
     f"""
 WITH mentions AS (
@@ -671,6 +727,35 @@ def q_kg_graph_export_counts(spark, sf_dir):
             F.countDistinct("obj") + F.countDistinct("subj")
         ).alias("total_nodes"),
         F.count(F.lit(1)).alias("total_edges"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate sketches (rows-only: HLL/KLL internals are engine-
+# specific, so the gate is a tolerance test vs the exact answer —
+# tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+
+@register("events_approx_distinct_users", None)
+def q_events_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++, rsd=2%): the sketch path
+    for web-scale distinct counts — mergeable, fixed memory, one
+    map-side pass; tolerance vs exact asserted in tests."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register("events_value_percentiles", None)
+def q_events_percentiles(spark, sf_dir):
+    """percentile_approx (KLL-style quantile sketch) p50/p95/p99 per
+    event type — same mergeable-sketch rationale as HLL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "p50_p95_p99"
+        )
     )
 
 
