@@ -98,23 +98,34 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     SQL twin exists (substr/md5/CASE), so the oracle covers it.
     """
     toks = F.array_distinct(F.split(text, " ", -1))
-    hashes = F.transform(toks, lambda t: F.md5(t))
 
-    def bit(b: int) -> Column:
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.substring(h, b + 1, 1).isin(
+    def tok_bits(h: Column) -> Column:
+        # ±1 vote per nibble of ONE md5 — md5 computed once per token
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda b: F.when(
+                F.substring(h, b, 1).isin(
                     "8", "9", "a", "b", "c", "d", "e", "f"
                 ),
                 1,
             ).otherwise(-1),
         )
-        return F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(b) for b in range(bits)])
+    # fold over pre-hashed tokens: the lambda variable h is a BOUND
+    # string value, so md5 runs once per token (inlining md5(t) into
+    # tok_bits would re-evaluate it per bit — no CSE inside HOF bodies)
+    votes = F.aggregate(
+        F.transform(toks, lambda t: F.md5(t)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(
+            votes,
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
 
 def simhash_dup_groups(

@@ -62,18 +62,23 @@ def build_triples(capped_mentions: DataFrame, doc_col: str = "url") -> DataFrame
     reference's per-doc nested loop; no join needed)."""
     subj = F.concat(F.lit("page:"), F.col(doc_col))
     obj = normalize_entity_id(F.col("surface"))
+    # S6 idempotent edge upsert: distinct BEFORE deriving edge_id —
+    # edge_id is a pure function of (subj, obj), and a plain distinct
+    # stays a HashAggregate, whereas carrying edge_id through
+    # dropDuplicates forces a First() string buffer → SortAggregate
+    # (an extra per-partition sort at scale). See PLANS.md.
     return (
         capped_mentions.select(
             subj.alias("subj"),
             F.lit(PRED_CONTAINS_ENTITY).alias("pred"),
             obj.alias("obj"),
         )
+        .distinct()
         .withColumn(
             "edge_id",
             F.concat_ws("", F.lit("edge:"), F.col("subj"), F.lit(":"),
                         F.col("obj"), F.lit(":" + PRED_CONTAINS_ENTITY)),
         )
-        .dropDuplicates(["subj", "pred", "obj"])  # S6 idempotent edge upsert
     )
 
 

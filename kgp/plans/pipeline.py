@@ -106,6 +106,7 @@ def build_kg_fused(
             F.lit("contains_entity").alias("pred"),
             obj.alias("obj"),
         )
+        .distinct()  # HashAggregate; edge_id derived after (see triples.py)
         .withColumn(
             "edge_id",
             F.concat_ws(
@@ -113,7 +114,6 @@ def build_kg_fused(
                 F.col("obj"), F.lit(":contains_entity"),
             ),
         )
-        .dropDuplicates(["subj", "pred", "obj"])
     )
     entities = (
         capped.select(

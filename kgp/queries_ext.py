@@ -730,6 +730,53 @@ def q_kg_graph_export_counts(spark, sf_dir):
     )
 
 
+@register(
+    "source_id_extract",
+    r"""
+SELECT doc_id, source,
+       COALESCE(NULLIF(regexp_extract(source, 'src(\d+)', 1), ''),
+                source) AS source_num
+FROM documents
+""",
+)
+def q_source_id_extract(spark, sf_dir):
+    """P1 — regex id extraction with input-fallback
+    (strategies/youtube.py:11-21: two patterns, fallback = input).
+    regexp_extract returns '' on no-match in both engines; NULLIF+
+    COALESCE reproduces the reference's fallback exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.nullif(F.regexp_extract("source", r"src(\d+)", 1), F.lit("")),
+            F.col("source"),
+        ).alias("source_num"),
+    )
+
+
+@register(
+    "events_date_roundtrip",
+    """
+SELECT event_id,
+       strftime(ts, '%Y%m%d') AS ymd,
+       CAST(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d') AS DATE) AS parsed
+FROM events
+""",
+)
+def q_events_date_roundtrip(spark, sf_dir):
+    """F5 — date format/parse round trip (youtube.py:78 strptime
+    '%Y%m%d'; strategies/youtube.py:119 isoformat)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").alias("ymd"),
+        F.to_date(F.date_format("ts", "yyyyMMdd"), "yyyyMMdd").alias(
+            "parsed"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # approximate sketches (rows-only: HLL/KLL internals are engine-
 # specific, so the gate is a tolerance test vs the exact answer —
