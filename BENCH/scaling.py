@@ -6,7 +6,10 @@ Runs the flagship KG pipeline (pages → docs → mentions → cap →
 triples + entities) over the SAME materialized pages parquet at two
 parallelism levels, each in a FRESH JVM (subprocess) so executor
 thread pools, codegen caches, and shuffle state don't leak between
-runs. Reports docs/sec at both levels and
+runs. Each leg reports the BEST of 3 timed runs after warmup: the
+sandbox microVM's effective CPU fluctuates with host neighbors
+(observed 3x swings on identical runs), and the minimum is the
+least-interfered measurement. Reports docs/sec at both levels and
 efficiency = (T_N / T_4N) / (4N / N).
 
 Usage: python BENCH/scaling.py [n_pages]   (default 50_000 ≈ sf0.1)
@@ -40,8 +43,13 @@ def run():
     capped = cap_mentions(m)
     return build_triples(capped).count(), build_entities(capped).count()
 run()                      # warmup: codegen compile
-t0 = time.perf_counter(); nt, ne = run(); dt = time.perf_counter() - t0
-print(json.dumps({"cores": n_cores, "sec": dt, "triples": nt,
+best = None; nt = ne = 0
+for _ in range(3):         # best-of-3: the sandbox VM's effective CPU
+    t0 = time.perf_counter()   # fluctuates with host neighbors; the
+    nt, ne = run()             # minimum is the least-interfered run
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cores": n_cores, "sec": best, "triples": nt,
                   "entities": ne}))
 spark.stop()
 """
@@ -102,8 +110,11 @@ parallelism levels in fresh JVMs: `local[8]` (N) vs `local[32]` (4N).
 
 Job: flagship KG pipeline — pages({n_pages}) → segment/extract (S3/S4)
 → gazetteer NER (F1/P3) → cap (A1/T4) → triples (J1/S6) + entities
-(S5), both outputs counted. Timed steady-state (untimed codegen warmup
-first); input parquet pre-materialized so generation isn't measured.
+(S5), both outputs counted. Input parquet pre-materialized so
+generation isn't measured. Methodology: untimed codegen warmup, then
+each leg reports the BEST of 3 timed runs — the sandbox microVM's
+effective CPU fluctuates with host neighbors (observed 3× swings on
+identical runs), so the minimum is the least-interfered measurement.
 
 | cores | wall (s) | docs/sec |
 |---|---|---|

@@ -67,6 +67,41 @@ def tokens_col(text: Column) -> Column:
     return F.array_distinct(F.split(text, " ", -1))
 
 
+def char_shingles_col(s: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a (lowercased) string — the
+    standard blocking key for entity NAMES, where token shingles are
+    useless (names are 1-3 tokens). Strings shorter than n yield
+    themselves. Pure JVM HOFs."""
+    low = F.lower(s)
+    n_sh = F.greatest(F.length(low) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.substring(low, i, n),
+        )
+    )
+
+
+def name_blocking_candidates(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """X3 applied to entity linking proper: MinHash-LSH over character
+    3-grams of entity names → candidate pairs → exact char-Jaccard ≥
+    threshold. Output (id_a, id_b, jaccard) is the same-as candidate
+    set that canonicalization (X5) consumes for surface variants the
+    alias dictionary doesn't list ("Acme Corp" ↔ "Acme Corporation").
+    """
+    sets_df = entities.select(
+        id_col, char_shingles_col(F.col(name_col)).alias("_cs")
+    )
+    sig = minhash_signature(sets_df, id_col, "_cs")
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    return score_candidates_jaccard(cand, sets_df, id_col, "_cs", threshold)
+
+
 def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
     """Distinct n-token shingles as ARRAY<STRING> — pure JVM HOFs.
 

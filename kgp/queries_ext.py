@@ -731,6 +731,157 @@ def q_kg_graph_export_counts(spark, sf_dir):
 
 
 @register(
+    "customers_without_big_orders",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+""",
+)
+def q_customers_without_big_orders(spark, sf_dir):
+    """U-ops/anti-join coverage: left_anti against a filtered fact
+    table (the filter pushes into the orders scan before the join)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"),
+             F.col("c_name").alias("name"))
+
+
+@register(
+    "tpch_q3ish_shipping_priority",
+    """
+SELECT l.l_orderkey AS orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+         AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 3
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3ish(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg →
+    top-k. Catalyst pushes both date filters to the scans and
+    broadcasts the filtered customer side; revenue rounds at 2dp
+    (sums of 2dp money values — no half-ulp ambiguity at this scale,
+    asserted by the oracle gate itself)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "kg_triples_canonical",
+    f"""
+WITH mentions AS (
+  SELECT d.doc_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM documents d,
+       (VALUES ('spark','PRODUCT'),('customer','PERSON'),('merge join','PRODUCT'),
+               ('table scan','PRODUCT'),('window','ORG'),('stream','GPE'),
+               ('filter','ORG'),('hash','GPE'),('batch','PERSON'),('agg','ORG'),
+               ('sort','GPE'),('line','EVENT'),('query','EVENT')) AS gaz(surface, label)
+  WHERE strpos(' ' || d.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
+),
+ents AS (
+  SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+         min(surface) AS name
+  FROM capped WHERE rnk <= 10 GROUP BY 1
+),
+am AS (SELECT e.entity_id, ad.canonical_id AS grp
+       FROM ents e JOIN {docs_alias_sql_values()} ON e.name = ad.surface),
+grpsz AS (SELECT grp, count(*) AS n, min(entity_id) AS canon FROM am GROUP BY 1),
+canon AS (
+  SELECT e.entity_id,
+         CASE WHEN g.n >= 2 THEN g.canon ELSE e.entity_id END AS canonical_id
+  FROM ents e
+  LEFT JOIN am ON e.entity_id = am.entity_id
+  LEFT JOIN grpsz g ON am.grp = g.grp
+)
+SELECT DISTINCT 'doc:' || CAST(t.doc_id AS VARCHAR) AS subj,
+       'contains_entity' AS pred,
+       c.canonical_id AS obj
+FROM (SELECT doc_id, 'entity:' || replace(lower(surface), ' ', '_') AS eid
+      FROM capped WHERE rnk <= 10) t
+JOIN canon c ON t.eid = c.entity_id
+""",
+)
+def q_kg_triples_canonical(spark, sf_dir):
+    """End-to-end entity resolution: judged triples REWRITTEN onto
+    canonical ids (X2→X5 integrated into materialization; the
+    surface-form triple set kg_triples stays untouched — this is the
+    additional canonical view, SURVEY §7.1 step 6 invariant)."""
+    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+
+    alias = spark.createDataFrame(
+        DOCS_ALIAS, schema="surface string, canonical_id string"
+    )
+    ents = q_kg_entities(spark, sf_dir)
+    cmap = canonicalize_entities(
+        ents, same_as_from_alias(ents, alias)
+    ).select("entity_id", "canonical_id")
+    t = _doc_capped(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "subj"
+        ),
+        normalize_entity_id(F.col("surface")).alias("entity_id"),
+    )
+    return (
+        t.join(cmap, "entity_id")
+        .select(
+            "subj",
+            F.lit("contains_entity").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "source_id_extract",
     r"""
 SELECT doc_id, source,

@@ -143,3 +143,22 @@ def q_pages_embeddings(spark, sf_dir):
     return with_embedding(
         docs.select("url", "extracted_text"), text_col="extracted_text"
     ).select("url", "embedding")
+
+
+@register("pages_segment_triples", None)
+def q_pages_segment_triples(spark, sf_dir):
+    """Segment-level KG (strategies/youtube.py:177 store_segment_in_kg;
+    F4 1-based namespacing `{doc_id}:segment:{i}`): gazetteer mentions
+    per 30 s segment → triples whose subjects are segment ids."""
+    segs = segment_pages(_pages(spark, sf_dir)).select(
+        # build_triples prefixes "page:" itself (F4): seg_id is bare
+        F.concat(
+            F.col("url"), F.lit(":segment:"),
+            (F.col("seg_idx") + 1).cast("string"),
+        ).alias("seg_id"),
+        F.col("text"),
+    )
+    m = mentions_relational(
+        segs, gazetteer_df(spark), id_col="seg_id", text_col="text"
+    ).withColumnRenamed("url", "seg_id")
+    return build_triples(cap_mentions(m, doc_col="seg_id"), doc_col="seg_id")
