@@ -882,6 +882,60 @@ def q_kg_triples_canonical(spark, sf_dir):
 
 
 @register(
+    "suppliers_per_region_nation",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(round(sum(s.s_acctbal), 2) AS DOUBLE) AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_suppliers_per_region_nation(spark, sf_dir):
+    """Snowflake-dimension chain: two broadcast joins up the
+    region←nation hierarchy, then agg — the classic star-schema
+    rollup; nation/region stay broadcast at any fact scale."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).cast("double").alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+@register(
+    "part_brand_stats",
+    """
+SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(p_retailprice) AS DOUBLE) AS min_price,
+       CAST(max(p_retailprice) AS DOUBLE) AS max_price
+FROM part
+GROUP BY 1
+""",
+)
+def q_part_brand_stats(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
     "source_id_extract",
     r"""
 SELECT doc_id, source,
