@@ -253,10 +253,10 @@ def q_tpch_pricing_summary(spark, sf_dir):
     "top_customers_by_revenue",
     """
 SELECT c.c_custkey AS custkey, c.c_name AS name,
-       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+       sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY 1, 2
-ORDER BY revenue DESC, custkey ASC
+ORDER BY revenue_cents DESC, custkey ASC
 LIMIT 20
 """,
 )
@@ -268,8 +268,12 @@ def q_top_customers(spark, sf_dir):
         .groupBy(
             F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("custkey"))
         .limit(20)
     )
 
@@ -279,7 +283,7 @@ def q_top_customers(spark, sf_dir):
     """
 SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
 FROM events
 GROUP BY 1, 2
 """,
@@ -290,7 +294,9 @@ def q_events_monthly(spark, sf_dir):
         F.to_date(F.date_trunc("month", "ts")).alias("month"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
     )
 
 

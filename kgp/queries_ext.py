@@ -757,8 +757,8 @@ def q_customers_without_big_orders(spark, sf_dir):
     "tpch_q3ish_shipping_priority",
     """
 SELECT l.l_orderkey AS orderkey,
-       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
-         AS revenue,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS revenue_cents,
        CAST(o.o_orderdate AS DATE) AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -767,16 +767,17 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < DATE '1995-03-15'
   AND l.l_shipdate > DATE '1995-03-15'
 GROUP BY 1, 3
-ORDER BY revenue DESC, orderkey ASC
+ORDER BY revenue_cents DESC, orderkey ASC
 LIMIT 10
 """,
 )
 def q_tpch_q3ish(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg →
     top-k. Catalyst pushes both date filters to the scans and
-    broadcasts the filtered customer side; revenue rounds at 2dp
-    (sums of 2dp money values — no half-ulp ambiguity at this scale,
-    asserted by the oracle gate itself)."""
+    broadcasts the filtered customer side; revenue ships as exact
+    integer cents (per-row floor then integer sum — the per-row double
+    product is bit-identical across engines, and integer sums are
+    order-independent, unlike round(sum(double)))."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -794,14 +795,17 @@ def q_tpch_q3ish(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).cast("double").alias("revenue")
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents")
         )
-        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .orderBy(F.desc("revenue_cents"), F.asc("orderkey"))
         .limit(10)
-        .select("orderkey", "revenue", "orderdate")
+        .select("orderkey", "revenue_cents", "orderdate")
     )
 
 
@@ -886,7 +890,7 @@ def q_kg_triples_canonical(spark, sf_dir):
     """
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS n_suppliers,
-       CAST(round(sum(s.s_acctbal), 2) AS DOUBLE) AS total_acctbal
+       sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS acctbal_cents
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -909,8 +913,8 @@ def q_suppliers_per_region_nation(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).cast("double").alias(
-                "total_acctbal"
+            F.sum(F.floor(F.col("s_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
             ),
         )
     )
