@@ -131,5 +131,8 @@ def build_kg_pipeline(
         return runner
 
     runner.stage("triples", lambda: build_triples(capped))
+    if stop_after == "triples":
+        return runner
+
     runner.stage("entities", lambda: build_entities(capped))
     return runner

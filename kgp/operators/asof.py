@@ -68,9 +68,12 @@ def asof_join(
     )
     u = lt.unionByName(rt)
 
+    # tiebreak sorts AFTER _side: left rows carry a NULL payload, and
+    # placing a nulls-first payload key before _side would sort them
+    # ahead of equal-ts right rows, losing the <= tie match
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if right_tiebreak and right_tiebreak in payload:
-        order.insert(1, F.col("_p")[right_tiebreak].asc_nulls_first())
+        order.append(F.col("_p")[right_tiebreak].asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

@@ -5,20 +5,22 @@ iterative label propagation over DataFrames)". graphframes is not
 installed in this sandbox (SURVEY §7.0), so CC is a hand-rolled
 DataFrame loop.
 
-Algorithm: hash-min label propagation (a.k.a. HCC, Rastogi et al.,
-"Finding Connected Components in Map-Reduce in Logarithmic Rounds" —
-the same primitive GraphFrames' CC builds on). Each node carries the
-minimum id seen in its neighborhood; one iteration is
+Algorithm: hash-min label propagation WITH pointer doubling (the HCC
+construction of Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds" — the same primitive GraphFrames'
+CC builds on). Each round does two DataFrame steps:
 
-    label(v) ← min(label(v), min_{(u,v) or (v,u) ∈ E} label(u))
+    1. label(v) ← min(label(v), min_{(u,v) or (v,u) ∈ E} label(u))
+       (edges⋈labels + groupBy(node).min)
+    2. label(v) ← min(label(v), label(label(v)))
+       (labels self-join — halves the remaining hop distance)
 
-implemented as edges⋈labels + groupBy(node).min. Iterations are bounded
-by the component diameter; same-as graphs from alias linking + LSH
-scoring are near-star-shaped (every member links to a hub surface), so
-convergence is 2-3 rounds in practice. `localCheckpoint()` every round
-cuts the lineage chain (SURVEY §4.4) so the plan doesn't grow
-exponentially; convergence is detected by a changed-labels count and
-the fixpoint asserted, never assumed.
+Step 2 makes the round count O(log diameter): a 30-node same-as chain
+(transitive near-dup names from LSH blocking) converges in ~6 rounds
+instead of 29. `localCheckpoint()` every round cuts the lineage chain
+(SURVEY §4.4) so the plan doesn't grow exponentially; convergence is
+detected by a changed-labels count and the fixpoint asserted, never
+assumed.
 
 Scale notes: each round shuffles (edges ⋈ labels) on node id — the
 partitioning key is stable across rounds, so AQE reuses sane partition
@@ -56,16 +58,37 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # candidate labels flowing along edges: neighbor's current label
+        # hash-min step: neighbor's current label flows along edges
         prop = (
             e.join(labels, e.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        stepped = (
             labels.select("node", "component")
             .union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer-doubling step: l(v) ← min(l(v), l(l(v))). Components
+        # are node ids, so looking the label up in the same table
+        # halves the remaining path each round — total rounds are
+        # O(log diameter), not O(diameter), so a 30-entity same-as
+        # CHAIN (transitive near-dup names) converges in ~6 rounds.
+        lut = stepped.select(
+            F.col("node").alias("_c_node"),
+            F.col("component").alias("_c_comp"),
+        )
+        new_labels = (
+            stepped.join(
+                lut, stepped.component == F.col("_c_node"), "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_c_comp"), F.col("component")),
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -113,7 +136,14 @@ def canonicalize_entities(
 
 def same_as_from_alias(entities: DataFrame, alias_df: DataFrame) -> DataFrame:
     """X2→X5 bridge: entities sharing an alias-dict canonical_id become
-    same-as pairs (broadcast join, tiny dict)."""
+    same-as pairs (broadcast join, tiny dict).
+
+    Edges are a STAR per alias group — each member pairs with the
+    group's min entity_id — not the full clique: a hot alias matched
+    by k entities emits k−1 edges instead of k(k−1)/2 (a 100k-entity
+    boilerplate surface would otherwise explode to ~5·10⁹ pairs).
+    Connected components are identical either way.
+    """
     m = (
         entities.select("entity_id", "name")
         .join(
@@ -127,11 +157,12 @@ def same_as_from_alias(entities: DataFrame, alias_df: DataFrame) -> DataFrame:
         )
         .select("entity_id", "canonical_id")
     )
-    a = m.select(F.col("entity_id").alias("id_a"), "canonical_id")
-    b = m.select(F.col("entity_id").alias("id_b"), "canonical_id")
+    hubs = m.groupBy("canonical_id").agg(
+        F.min("entity_id").alias("id_a")
+    )
     return (
-        a.join(b, "canonical_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        m.join(hubs, "canonical_id")
+        .filter(F.col("entity_id") != F.col("id_a"))
+        .select("id_a", F.col("entity_id").alias("id_b"))
         .distinct()
     )

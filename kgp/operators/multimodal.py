@@ -46,7 +46,9 @@ def html_to_text(pages: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             s = pdf["html"].apply(
-                lambda b: b.decode("utf-8", errors="replace")
+                lambda b: None
+                if b is None
+                else b.decode("utf-8", errors="replace")
             )
             s = s.str.replace(r"^<html><body>", "", regex=True)
             s = s.str.replace(r"</body></html>$", "", regex=True)

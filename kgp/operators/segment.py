@@ -54,7 +54,6 @@ def _segs_array(text: Column) -> Column:
     toks = F.split(text, " ", -1)
     n = F.size(toks)
     n_segs = F.ceil(n / F.lit(_TOKENS_PER_WINDOW)).cast("int")
-    k = "k"
     return F.transform(
         F.sequence(F.lit(0), n_segs - 1),
         lambda k: F.struct(

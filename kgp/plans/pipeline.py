@@ -46,6 +46,12 @@ def capped_mentions_col(
     order, then re-projected.
     """
     gaz = gaz or PAGES_SURFACES
+    kept = [(s, lab) for s, lab in gaz if lab in ENTITY_LABELS]
+    out_t = "array<struct<surface:string,label:string,first_offset:bigint>>"
+    if not kept:
+        # F.array() with zero elements has VOID element type and fails
+        # analysis inside the filter lambda — return a typed empty
+        return F.array().cast(out_t)
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     hits = F.filter(
         F.array(
@@ -57,8 +63,7 @@ def capped_mentions_col(
                     F.lit(s).alias("surface"),
                     F.lit(lab).alias("label"),
                 )
-                for s, lab in gaz
-                if lab in ENTITY_LABELS  # P3 folded at plan build time
+                for s, lab in kept  # P3 folded at plan build time
             ]
         ),
         lambda m: m["first_offset"] >= 0,

@@ -60,16 +60,24 @@ def start_kg_stream(
     idempotently. Returns the StreamingQuery (caller awaits/stops)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         new_triples = triples_for_batch(batch_df)
         try:
             existing = spark.read.parquet(out_dir).select(
                 "subj", "pred", "obj"
             )
+        except AnalysisException as e:
+            # only the missing-sink (first batch) case may be skipped;
+            # any other read failure must abort the batch — silently
+            # dropping the anti-join would append duplicates on replay
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            existing = None
+        if existing is not None:
             new_triples = new_triples.join(
                 existing, ["subj", "pred", "obj"], "left_anti"
             )
-        except Exception:
-            pass  # first batch: sink does not exist yet
         new_triples.write.mode("append").parquet(out_dir)
 
     return (

@@ -70,3 +70,23 @@ def test_asof_partition_invariance(spark):
     b = sorted(map(tuple, asof_join(
         l1.repartition(17), r1, key="user_id").collect()))
     assert a == b
+
+
+def test_asof_right_tiebreak_keeps_equal_ts_match(spark):
+    """Regression: with right_tiebreak set, an equal-ts right row must
+    still match (<= semantics) and the max-tiebreak row must win."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T12:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01T12:00:00"), 7),
+            ("k", _ts("2024-01-01T12:00:00"), 9),
+        ],
+        "user_id string, ts timestamp, snap long",
+    )
+    row = asof_join(
+        left, right, key="user_id", right_tiebreak="snap"
+    ).collect()[0]
+    assert row["snap"] == 9

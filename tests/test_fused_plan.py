@@ -42,3 +42,11 @@ def test_fused_partition_invariance(spark):
     a = build_kg_fused(synth_pages(spark, 200, partitions=1))[0]
     b = build_kg_fused(synth_pages(spark, 200, partitions=11))[0]
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fused_empty_gazetteer_yields_zero_mentions(spark):
+    """Regression: an empty/all-filtered gazetteer must produce zero
+    triples, not an analysis error (VOID array element type)."""
+    pages = synth_pages(spark, 10)
+    t, e = build_kg_fused(pages, gaz=[("decoy", "EVENT")])
+    assert t.count() == 0 and e.count() == 0

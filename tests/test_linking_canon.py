@@ -132,3 +132,30 @@ def test_minhash_partition_invariance(spark, parts):
     # pinned expectation from the sf0.001 fixture (25 planted pairs + 3
     # incidental high-overlap pairs at this threshold)
     assert len(pairs) == 28
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 60-node path must converge within max_iter (pointer doubling
+    gives O(log d) rounds; plain propagation would need 59)."""
+    rows = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(59)]
+    cc = connected_components(
+        spark.createDataFrame(rows, "src string, dst string")
+    )
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"n00"}
+
+
+def test_same_as_star_not_clique(spark):
+    """k entities sharing one alias emit k-1 star edges, not the
+    k(k-1)/2 clique."""
+    ents = spark.createDataFrame(
+        [(f"entity:e{i}", "Acme Corp") for i in range(6)],
+        "entity_id string, name string",
+    )
+    alias = spark.createDataFrame(
+        [("Acme Corp", "canon:acme")],
+        "surface string, canonical_id string",
+    )
+    edges = same_as_from_alias(ents, alias).collect()
+    assert len(edges) == 5
+    assert all(r["id_a"] == "entity:e0" for r in edges)
