@@ -48,8 +48,10 @@ sh AS (SELECT doc_id,
        FROM wt)
 """
 
+# i-th 8-hex-char chunk of sha256(e)||md5(e) — mirrors
+# kgp.operators.linking.minhash_signature's 2-digest chunked family
 _SIG_COLS = ", ".join(
-    f"min(md5('{i}|' || e)) AS h{i}" for i in range(MINHASH_K)
+    f"min(substr(d, {i * 8 + 1}, 8)) AS h{i}" for i in range(MINHASH_K)
 )
 
 
@@ -65,7 +67,7 @@ _BAND_SELECTS = "\nUNION ALL ".join(
 
 _MINHASH_CTE = f"""
 {_SHINGLE_CTE},
-ex AS (SELECT doc_id, unnest(sh) AS e FROM sh),
+ex AS (SELECT doc_id, sha256(unnest(sh)) || md5(unnest(sh)) AS d FROM sh),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM ex GROUP BY doc_id),
 bands AS ({_BAND_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
