@@ -98,3 +98,58 @@ def test_frame_sample_counts_match_windows(spark):
         | (F.col("n_uniq") != F.col("n_frames"))
     )
     assert bad.count() == 0
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg over a file stream must equal
+    the batch groupBy(window) on the same data (complete mode)."""
+    from datetime import datetime, timedelta
+
+    from kgp.streaming import events_windowed_counts
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=(i * 7) % 95), i % 5,
+         ["view", "click"][i % 2], float(i), "{}")
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        events_windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM win_counts").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src)
+            .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got
