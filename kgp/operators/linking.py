@@ -143,13 +143,21 @@ def minhash_signature(
     """
     assert k * 8 <= 96, "k>12 needs a third digest"
     # digest materialized in its own projection so the K min-aggs
-    # slice a bound column instead of re-evaluating the hashes K times
+    # slice a bound column instead of re-evaluating the hashes K times.
+    # Chunks aggregate as BIGINT (conv base16→10), not 8-char strings:
+    # K string min-buffers overflow the fixed-width hash-agg row and
+    # demote the stage to SortAggregate; longs keep it HashAggregate.
+    # min(BIGINT) == min(fixed-width hex) — same ordering.
     el = df.select(id_col, F.explode(set_col).alias("_e")).select(
         id_col,
         F.concat(F.sha2(F.col("_e"), 256), F.md5(F.col("_e"))).alias("_d"),
     )
     aggs = [
-        F.min(F.substring(F.col("_d"), i * 8 + 1, 8)).alias(f"h{i}")
+        F.min(
+            F.conv(F.substring(F.col("_d"), i * 8 + 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"h{i}")
         for i in range(k)
     ]
     return el.groupBy(id_col).agg(*aggs)
@@ -161,7 +169,16 @@ def lsh_bands(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
 ) -> DataFrame:
-    """(id, band_idx, band_key): band_key = md5 of the band's hashes."""
+    """(id, band_idx, band_key): band_key = md5 of the band's hashes.
+
+    Signature elements are BIGINT in-flight (see minhash_signature);
+    the band key re-renders them as the original lowercase 8-hex-char
+    chunks so the md5 family — and the DuckDB oracle — is unchanged.
+    """
+
+    def _hx(c: str):
+        return F.lower(F.lpad(F.hex(F.col(c)), 8, "0"))
+
     band_structs = F.array(
         *[
             F.struct(
@@ -169,7 +186,7 @@ def lsh_bands(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                        *[_hx(f"h{b * rows + r}") for r in range(rows)],
                     )
                 ).alias("band_key"),
             )

@@ -253,7 +253,10 @@ def q_tpch_pricing_summary(spark, sf_dir):
     "top_customers_by_revenue",
     """
 SELECT c.c_custkey AS custkey, c.c_name AS name,
-       sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       -- outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which lands in
+       -- pandas as float64 and stringifies with a trailing '.0'
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY 1, 2
 ORDER BY revenue_cents DESC, custkey ASC
@@ -283,7 +286,8 @@ def q_top_customers(spark, sf_dir):
     """
 SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
 FROM events
 GROUP BY 1, 2
 """,

@@ -198,12 +198,16 @@ def q_dedup_ngram_bruteforce(spark, sf_dir):
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS sim_e4
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-) WHERE sim_e4 >= 8000
+) WHERE sim_e4 >= 4000
 """,
 )
 def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs. Threshold 0.4: the driver fixture's
+    random vectors top out near cos 0.55, so 0.8 matched on an EMPTY
+    set (a vacuous gate); 0.4 yields ~60 pairs at sf0.01 so the gate
+    actually exercises the scoring path."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.near_dup_pairs_embedding(emb, threshold=8000, exact=True)
+    return S.near_dup_pairs_embedding(emb, threshold=4000, exact=True)
 
 
 # ---------------------------------------------------------------------------
@@ -632,12 +636,16 @@ def q_temporal_search(spark, sf_dir):
     w_user = Window.partitionBy("user_id").orderBy(
         F.desc("sim_e4"), F.asc("vec_id")
     )
-    w_all = Window.orderBy(F.desc("sim_e4"), F.asc("vec_id"))
+    # final top-20 as orderBy+limit → TakeOrderedAndProject (per-
+    # partition top-k then a driver merge of 20-row heads), NOT a
+    # row_number over a global Window, which would funnel every deduped
+    # row through ONE task's sort at scale (plan asserted in
+    # tests/test_plans.py).
     return (
         scored.withColumn("rn", F.row_number().over(w_user))
         .filter(F.col("rn") == 1)
-        .withColumn("rk", F.row_number().over(w_all))
-        .filter(F.col("rk") <= 20)
+        .orderBy(F.desc("sim_e4"), F.asc("vec_id"))
+        .limit(20)
         .select("vec_id", "user_id", "sim_e4")
     )
 
@@ -663,8 +671,9 @@ capped AS (
   WHERE label IN ('PERSON','ORG','GPE','PRODUCT')
 )
 SELECT doc_id,
-       list_sort(list(DISTINCT 'entity:' || replace(lower(surface), ' ', '_')))
-         AS entities,
+       array_to_string(
+         list_sort(list(DISTINCT 'entity:' || replace(lower(surface), ' ', '_'))),
+         '|') AS entities,
        CAST(count(DISTINCT surface) AS BIGINT) AS n_entities
 FROM capped WHERE rnk <= 10
 GROUP BY doc_id
@@ -672,8 +681,9 @@ GROUP BY doc_id
 )
 def q_kg_doc_entity_sets(spark, sf_dir):
     """A3 — cross-segment entity union per document
-    (src/api/routers/temporal.py:247-250): sorted distinct entity-id
-    array per doc (sorted so the array compares deterministically)."""
+    (src/api/routers/temporal.py:247-250): sorted distinct entity ids
+    per doc, '|'-joined to a scalar (the driver's value canonicalizer
+    sorts tuples, so ARRAY output columns are not hashable)."""
     from kgp.operators.triples import normalize_entity_id
     from kgp.queries import _doc_capped
 
@@ -686,7 +696,9 @@ def q_kg_doc_entity_sets(spark, sf_dir):
         )
         .groupBy("doc_id")
         .agg(
-            F.sort_array(F.collect_set("eid")).alias("entities"),
+            F.array_join(F.sort_array(F.collect_set("eid")), "|").alias(
+                "entities"
+            ),
             F.countDistinct("surface").alias("n_entities"),
         )
     )
@@ -759,7 +771,8 @@ def q_customers_without_big_orders(spark, sf_dir):
     "tpch_q3ish_shipping_priority",
     """
 SELECT l.l_orderkey AS orderkey,
-       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        CAST(o.o_orderdate AS DATE) AS orderdate
 FROM customer c
@@ -892,7 +905,8 @@ def q_kg_triples_canonical(spark, sf_dir):
     """
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS n_suppliers,
-       sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1008,12 +1022,62 @@ def q_events_approx_distinct(spark, sf_dir):
 @register("events_value_percentiles", None)
 def q_events_percentiles(spark, sf_dir):
     """percentile_approx (KLL-style quantile sketch) p50/p95/p99 per
-    event type — same mergeable-sketch rationale as HLL."""
+    event type — same mergeable-sketch rationale as HLL. Emitted as
+    three scalar columns (ARRAY outputs break the driver's tuple-sort
+    canonicalizer); tolerance vs exact asserted in tests."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "p50_p95_p99"
-        )
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return ev.groupBy("event_type").agg(pcts.alias("_p")).select(
+        "event_type",
+        F.element_at("_p", 1).alias("p50"),
+        F.element_at("_p", 2).alias("p95"),
+        F.element_at("_p", 3).alias("p99"),
+    )
+
+
+@register(
+    "events_value_percentiles_exact",
+    """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       min(CASE WHEN rn - 1 = CAST(floor(0.50 * (n - 1)) AS BIGINT)
+                THEN CAST(floor(value * 10000) AS BIGINT) END) AS p50_e4,
+       min(CASE WHEN rn - 1 = CAST(floor(0.95 * (n - 1)) AS BIGINT)
+                THEN CAST(floor(value * 10000) AS BIGINT) END) AS p95_e4,
+       min(CASE WHEN rn - 1 = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                THEN CAST(floor(value * 10000) AS BIGINT) END) AS p99_e4
+FROM r GROUP BY 1
+""",
+)
+def q_events_percentiles_exact(spark, sf_dir):
+    """Exact discrete percentiles with a pinned rule shared by both
+    engines: sorted values, 0-based index floor(p*(n-1)) — the sketch
+    query above is the scale path, this is its value-exact twin
+    (engine-internal approx-percentile tie rules differ, so the shared
+    rule lives in the query, not the engine)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = ev.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    v_e4 = F.floor(F.col("value") * 10000).cast("long")
+
+    def pick(p: float):
+        idx = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long")
+        return F.min(F.when(F.col("rn") - 1 == idx, v_e4))
+
+    return r.groupBy("event_type").agg(
+        pick(0.50).alias("p50_e4"),
+        pick(0.95).alias("p95_e4"),
+        pick(0.99).alias("p99_e4"),
     )
 
 
