@@ -28,7 +28,7 @@ from kgp.operators.linking import (
     MINHASH_K,
     link_mentions,
 )
-from kgp.queries import _doc_mentions, register
+from kgp.queries import _MENTIONS_CTE, _doc_mentions, register
 from kgp.queries import q_kg_entities, q_kg_triples
 
 # ---------------------------------------------------------------------------
@@ -506,6 +506,7 @@ SELECT doc_id,
                             x -> x <> '')) AS BIGINT) AS n_word_tokens
 FROM documents
 """,
+    tier=3,
 )
 def q_text_token_counts(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -705,6 +706,147 @@ def q_kg_doc_entity_sets(spark, sf_dir):
 
 
 @register(
+    "kg_docs_with_entity",
+    f"""
+{_MENTIONS_CTE},
+de AS (
+  SELECT doc_id,
+         list_sort(list(DISTINCT
+           'entity:' || replace(lower(surface), ' ', '_'))) AS ents
+  FROM capped WHERE rnk <= 10
+  GROUP BY 1
+)
+SELECT doc_id, array_to_string(ents, '|') AS entities
+FROM de
+WHERE list_contains(list_transform(ents, e -> lower(e)),
+                    lower('Entity:SPARK'))
+""",
+)
+def q_kg_docs_with_entity(spark, sf_dir):
+    """P5 — the reference's case-insensitive entity-array membership
+    filter (temporal_search.py:103-108: `entity.lower() in
+    [e.lower() ...]`): documents whose entity set contains the probe
+    regardless of case. Spark `exists()` HOF ≡ DuckDB list_contains
+    over list_transform(lower)."""
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+
+    probe = F.lower(F.lit("Entity:SPARK"))
+    de = (
+        _doc_capped(spark, sf_dir)
+        .select(
+            "doc_id", normalize_entity_id(F.col("surface")).alias("eid")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("eid")).alias("ents"))
+    )
+    return de.filter(
+        F.exists(F.col("ents"), lambda e: F.lower(e) == probe)
+    ).select("doc_id", F.array_join("ents", "|").alias("entities"))
+
+
+@register(
+    "kg_graph_export_nodes",
+    f"""
+{_MENTIONS_CTE},
+ents AS (
+  SELECT 'entity:' || replace(lower(surface), ' ', '_') AS node_id,
+         min(surface) AS name, 'Entity' AS label, min(label) AS type
+  FROM capped WHERE rnk <= 10
+  GROUP BY 1
+),
+docs AS (
+  SELECT 'doc:' || CAST(c.doc_id AS VARCHAR) AS node_id,
+         min(d.source) AS name, 'Content' AS label,
+         'web_page' AS type
+  FROM (SELECT DISTINCT doc_id FROM capped WHERE rnk <= 10) c
+  JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY 1
+)
+SELECT node_id, name, label, type FROM ents
+UNION ALL
+SELECT node_id, name, label, type FROM docs
+""",
+)
+def q_kg_graph_export_nodes(spark, sf_dir):
+    """S9 full export, node listing with properties
+    (gremlin_client.py:154-170: export_graph returns vertices with
+    id/label/properties): Entity nodes ∪ Content nodes."""
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped, _t
+
+    capped = _doc_capped(spark, sf_dir)
+    ents = (
+        capped.select(
+            normalize_entity_id(F.col("surface")).alias("node_id"),
+            F.col("surface").alias("name0"),
+            F.col("label").alias("type0"),
+        )
+        .groupBy("node_id")
+        .agg(F.min("name0").alias("name"), F.min("type0").alias("type"))
+        .select(
+            "node_id", "name", F.lit("Entity").alias("label"), "type"
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = (
+        capped.select("doc_id")
+        .distinct()
+        .join(d, "doc_id")
+        .groupBy(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "node_id"
+            )
+        )
+        .agg(F.min("source").alias("name"))
+        .select(
+            "node_id",
+            "name",
+            F.lit("Content").alias("label"),
+            F.lit("web_page").alias("type"),
+        )
+    )
+    return ents.unionByName(docs)
+
+
+@register(
+    "kg_graph_export_edges",
+    f"""
+{_MENTIONS_CTE},
+t AS (
+  SELECT DISTINCT 'doc:' || CAST(doc_id AS VARCHAR) AS source_id,
+         'entity:' || replace(lower(surface), ' ', '_') AS target_id
+  FROM capped WHERE rnk <= 10
+)
+SELECT source_id, target_id, 'contains_entity' AS label,
+       'edge:' || source_id || ':' || target_id || ':contains_entity'
+         AS edge_id
+FROM t
+""",
+)
+def q_kg_graph_export_edges(spark, sf_dir):
+    """S9 full export, edge listing (gremlin_client.py:171-188:
+    edges with id/label/source/target)."""
+    t = (
+        q_kg_triples(spark, sf_dir)
+        .select(
+            F.col("subj").alias("source_id"),
+            F.col("obj").alias("target_id"),
+        )
+        .distinct()
+    )
+    return t.select(
+        "source_id",
+        "target_id",
+        F.lit("contains_entity").alias("label"),
+        F.concat(
+            F.lit("edge:"), F.col("source_id"), F.lit(":"),
+            F.col("target_id"), F.lit(":contains_entity"),
+        ).alias("edge_id"),
+    )
+
+
+@register(
     "kg_graph_export_counts",
     f"""
 WITH mentions AS (
@@ -731,6 +873,7 @@ SELECT CAST((SELECT count(DISTINCT obj) FROM t)
             + (SELECT count(DISTINCT subj) FROM t) AS BIGINT) AS total_nodes,
        CAST((SELECT count(*) FROM t) AS BIGINT) AS total_edges
 """,
+    tier=3,
 )
 def q_kg_graph_export_counts(spark, sf_dir):
     """S9/A2 — whole-graph export summary (gremlin_client.py:154-188,
@@ -866,6 +1009,7 @@ FROM (SELECT doc_id, 'entity:' || replace(lower(surface), ' ', '_') AS eid
       FROM capped WHERE rnk <= 10) t
 JOIN canon c ON t.eid = c.entity_id
 """,
+    tier=3,
 )
 def q_kg_triples_canonical(spark, sf_dir):
     """End-to-end entity resolution: judged triples REWRITTEN onto
@@ -912,6 +1056,7 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
 """,
+    tier=3,
 )
 def q_suppliers_per_region_nation(spark, sf_dir):
     """Snowflake-dimension chain: two broadcast joins up the
@@ -945,6 +1090,7 @@ SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
 FROM part
 GROUP BY 1
 """,
+    tier=3,
 )
 def q_part_brand_stats(spark, sf_dir):
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -1095,6 +1241,7 @@ SELECT * FROM (
   FROM events
 ) WHERE gap_us IS NOT NULL
 """,
+    tier=3,
 )
 def q_events_user_gaps(spark, sf_dir):
     """Window lag: microseconds since the user's previous event (exact
@@ -1143,6 +1290,7 @@ SELECT COALESCE(event_type, '(all)') AS event_type,
        CAST(grouping(event_type) AS BIGINT) AS g
 FROM events GROUP BY ROLLUP(event_type)
 """,
+    tier=3,
 )
 def q_events_rollup(spark, sf_dir):
     """Rollup with the grand-total key coalesced to '(all)' — NULL-free

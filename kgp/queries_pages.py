@@ -1,151 +1,268 @@
-"""Pipeline queries over the synthetic `pages` table (rows-only checks).
+"""Flagship `pages` pipeline queries — oracle-gated.
 
-The driver has no DuckDB view for `pages`, so these register without an
-oracle_sql; their correctness gate is tests/ (byte-identity + P/R == 1.0
-vs the vendored oracle in kgp.oracle).
+The synthetic pages table (BASELINE.json input_hint shape) is
+materialized ONCE per (version, n, seed) to parquet
+(kgp.synth.materialize_pages); the Spark queries and their DuckDB
+twins read the SAME files, so the driver's hard gate covers the whole
+pipeline: byte-identical extraction (S4), 60-token segmentation (S3),
+gazetteer NER (F1), cap/order (A1/T4), triples + edge ids (J1/F3),
+entity nodes (S5), alias linking (X2), CC canonicalization (X5),
+MinHash near-dup (X3/X4), and the multimodal metadata columns.
+
+Oracle SQL is rendered for the DRIVER's compare scale (sf0.01 → 5000
+pages); the Spark side adapts to whatever sf_dir it is given.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kgp.constants import ENTITY_LABELS, MAX_ENTITIES_PER_DOC
+from kgp.gazetteer import ALIAS_DICT, PAGES_SURFACES
 from kgp.operators.ner import gazetteer_df, mentions_relational
 from kgp.operators.segment import extract_docs, segment_pages
 from kgp.operators.triples import build_entities, build_triples, cap_mentions
 from kgp.queries import register
-from kgp.synth import pages_scale_for_sf, synth_pages
+from kgp.synth import (
+    materialize_pages,
+    page_row,
+    pages_parquet_path,
+    pages_scale_for_sf,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments over the materialized pages parquet
+# ---------------------------------------------------------------------------
+
+# the driver compares at sf0.01 → 5000 pages; oracle SQL pins that scale
+_ORACLE_N = pages_scale_for_sf("/root/testdata/sf0.01")
+
+_PAGES_CTE = (
+    "pages AS (SELECT * FROM "
+    f"read_parquet('{pages_parquet_path(_ORACLE_N)}/*.parquet'))"
+)
+
+# S4 byte-identity closed form: extracted_text == ' ' || text (the
+# leading-space quirk of segment 0; segmentation is a lossless
+# split/rejoin — asserted independently in tests/test_segment.py)
+_DOCS_CTE = """
+docs AS (
+  SELECT url, 'page:' || url AS doc_id, ' ' || text AS extracted_text,
+         CAST((len(string_split(text, ' ')) + 59) // 60 AS INT)
+           AS n_segments
+  FROM pages
+)
+"""
+
+_GAZ_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{s}', '{lab}')" for s, lab in PAGES_SURFACES)
+    + ") AS gaz(surface, label)"
+)
+_ALIAS_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{s}', '{c}')" for s, _, c in ALIAS_DICT)
+    + ") AS al(surface, canonical_id)"
+)
+_LABELS_SQL = ", ".join(f"'{x}'" for x in ENTITY_LABELS)
+
+# F1/P3/A1: whole-token gazetteer match over the extracted text with
+# 0-based first offset; label filter BEFORE the per-doc cap.
+_CAPPED_CTE = f"""
+mentions AS (
+  SELECT d.url, gaz.surface, gaz.label,
+         CAST(strpos(' ' || d.extracted_text || ' ',
+                     ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM docs d, {_GAZ_SQL}
+  WHERE strpos(' ' || d.extracted_text || ' ',
+               ' ' || gaz.surface || ' ') > 0
+),
+capped AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY url ORDER BY first_offset, surface) AS rnk
+  FROM mentions
+  WHERE label IN ({_LABELS_SQL})
+)
+"""
+
+# S3: fixed 60-token windows (kgp.operators.segment derivation) —
+# slice k covers tokens [k*60+1, k*60+60] (1-based inclusive, clamped),
+# start 30·k, end 30·(k+1) except the final segment ends at 0.5·n.
+_SEG_CTE = """
+wt AS (SELECT url, string_split(text, ' ') AS w FROM pages),
+sg AS (SELECT url, w, len(w) AS n, (len(w) + 59) // 60 AS nseg FROM wt),
+sgx AS (SELECT url, w, n, nseg, unnest(range(nseg)) AS k FROM sg),
+seg AS (
+  SELECT url,
+         CAST(k AS INT) AS seg_idx,
+         30.0 * k AS start_s,
+         CASE WHEN k < nseg - 1 THEN 30.0 * (k + 1)
+              ELSE 0.5 * n END AS end_s,
+         (CASE WHEN k = 0 THEN ' ' ELSE '' END)
+           || array_to_string(list_slice(w, k * 60 + 1, k * 60 + 60), ' ')
+           AS text
+  FROM sgx
+)
+"""
+
+# entity-node closed form shared by entities/canonicalization oracles
+_ENTS_CTE = f"""
+ents AS (
+  SELECT 'entity:' || replace(lower(c.surface), ' ', '_') AS entity_id,
+         min(c.surface) AS name,
+         min(c.label) AS typ
+  FROM capped c WHERE c.rnk <= {MAX_ENTITIES_PER_DOC}
+  GROUP BY 1
+)
+"""
 
 
 def _pages(spark, sf_dir):
-    return synth_pages(spark, pages_scale_for_sf(sf_dir))
+    n = pages_scale_for_sf(sf_dir)
+    return spark.read.parquet(materialize_pages(spark, n))
 
 
-@register("pages_extracted_docs", None)
+# ---------------------------------------------------------------------------
+# S3/S4 — extraction + segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_extracted_docs",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}
+SELECT url, doc_id, extracted_text, n_segments FROM docs
+""",
+    tier=1,
+)
 def q_pages_docs(spark, sf_dir):
+    """S4 — the judged byte-identity invariant (youtube.py:148,227) on
+    the hard gate: DuckDB computes ' ' || text, Spark rebuilds the text
+    through the full segmentation path — both must agree byte-for-byte
+    per url."""
     return extract_docs(_pages(spark, sf_dir))
 
 
-@register("pages_segments", None)
+@register(
+    "pages_segments",
+    f"""
+WITH {_PAGES_CTE}, {_SEG_CTE}
+SELECT url, seg_idx, start_s, end_s, text FROM seg
+""",
+    tier=1,
+)
 def q_pages_segments(spark, sf_dir):
+    """S3 — 30 s temporal segmentation (youtube.py:111-164 reduced to
+    60-token windows for uniformly-timed entries)."""
     return segment_pages(_pages(spark, sf_dir))
 
 
-@register("pages_triples", None)
+_URL0 = page_row(0)["url"]
+
+
+@register(
+    "pages_video_timeline",
+    f"""
+WITH {_PAGES_CTE}, {_SEG_CTE}
+SELECT url, seg_idx, start_s, end_s, text FROM seg
+WHERE url = '{_URL0}' ORDER BY start_s
+""",
+    tier=1,
+)
+def q_pages_video_timeline(spark, sf_dir):
+    """T3 — per-video ordered timeline (temporal_search.py:192-239):
+    one document's segments in start-time order. The url predicate
+    prunes before the scan finishes (pushed filter)."""
+    return (
+        segment_pages(_pages(spark, sf_dir))
+        .filter(F.col("url") == _URL0)
+        .orderBy("start_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/J1/F3/S5 — NER → triples → entity nodes
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_triples",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE},
+t AS (
+  SELECT DISTINCT 'page:' || url AS subj,
+         'contains_entity' AS pred,
+         'entity:' || replace(lower(surface), ' ', '_') AS obj
+  FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+)
+SELECT subj, pred, obj,
+       'edge:' || subj || ':' || obj || ':contains_entity' AS edge_id
+FROM t
+""",
+    tier=1,
+)
 def q_pages_triples(spark, sf_dir):
+    """The flagship output: (subj, pred, obj, edge_id) triples
+    (gremlin_client.py:102-135) from the full pages pipeline."""
     docs = extract_docs(_pages(spark, sf_dir))
     m = mentions_relational(docs, gazetteer_df(spark))
     return build_triples(cap_mentions(m))
 
 
-@register("pages_entities", None)
+@register(
+    "pages_entities",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE}, {_ENTS_CTE}
+SELECT entity_id, name, 'Entity' AS label, typ AS type,
+       '' AS canonical_id
+FROM ents
+""",
+    tier=1,
+)
 def q_pages_entities(spark, sf_dir):
+    """S5 — entity-node upsert (unique entity_id, deterministic min
+    name/type; canonical_id coalesced to '' because the driver's
+    canonicalizer cannot sort NULL against strings)."""
     docs = extract_docs(_pages(spark, sf_dir))
     m = mentions_relational(docs, gazetteer_df(spark))
-    return build_entities(cap_mentions(m))
-
-
-@register("pages_fresh_filter", None)
-def q_pages_fresh(spark, sf_dir):
-    """P2 freshness filter (src/ingest/youtube.py:31-33): pushdown-able
-    timestamp predicate; html column never read (column pruning)."""
-    return (
-        _pages(spark, sf_dir)
-        .filter(F.col("warc_ts") >= F.lit("2024-07-01"))
-        .select("url", "warc_ts", "lang")
+    return build_entities(cap_mentions(m)).withColumn(
+        "canonical_id", F.lit("")
     )
 
 
-@register("pages_linked_entities", None)
-def q_pages_linked(spark, sf_dir):
-    """X2 — alias-dict linking of page entities (pages gazetteer has
-    real alias groups: Ada Lovelace / A. Lovelace / Lovelace …)."""
-    from kgp.gazetteer import ALIAS_DICT
-    from kgp.operators.linking import link_mentions
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    m = mentions_relational(docs, gazetteer_df(spark))
-    alias = spark.createDataFrame(
-        [(s, c) for s, _, c in ALIAS_DICT],
-        "surface string, canonical_id string",
-    )
-    return link_mentions(cap_mentions(m), alias)
-
-
-@register("pages_canonical_entities", None)
-def q_pages_canonical(spark, sf_dir):
-    """X5 — CC canonicalization of the pages entity table."""
-    from kgp.gazetteer import ALIAS_DICT
-    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    m = mentions_relational(docs, gazetteer_df(spark))
-    ents = build_entities(cap_mentions(m))
-    alias = spark.createDataFrame(
-        [(s, c) for s, _, c in ALIAS_DICT],
-        "surface string, canonical_id string",
-    )
-    return canonicalize_entities(ents, same_as_from_alias(ents, alias))
-
-
-@register("pages_near_dup_pairs", None)
-def q_pages_near_dups(spark, sf_dir):
-    """MinHash-LSH fuzzy dedup over the extracted page text."""
-    from kgp.operators.dedup import near_dup_pairs_minhash
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    return near_dup_pairs_minhash(
-        docs, id_col="url", text_col="extracted_text", threshold=0.5
-    )
-
-
-@register("pages_html_media_features", None)
-def q_pages_media(spark, sf_dir):
-    """Multimodal: typed metadata over the binary html column."""
-    from kgp.operators.multimodal import media_features
-
-    return media_features(_pages(spark, sf_dir))
-
-
-@register("pages_frame_samples", None)
-def q_pages_frames(spark, sf_dir):
-    """Multimodal: deterministic frame sampling at the 30 s cadence."""
-    from kgp.operators.multimodal import frame_sample_stub
-
-    return frame_sample_stub(_pages(spark, sf_dir))
-
-
-@register("pages_quality_scores", None)
-def q_pages_quality(spark, sf_dir):
-    """Text-quality scoring over extracted page text."""
-    from kgp.operators.textstats import quality_score
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    return quality_score(docs, id_col="url", text_col="extracted_text")
-
-
-@register("pages_lang_id", None)
-def q_pages_lang(spark, sf_dir):
-    """Marker-based language ID over extracted page text."""
-    from kgp.operators.textstats import lang_id
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    return lang_id(docs, id_col="url", text_col="extracted_text")
-
-
-@register("pages_embeddings", None)
-def q_pages_embeddings(spark, sf_dir):
-    """F9 — deterministic mock embeddings over extracted page text
-    (md5-seeded deviation from the reference's process-randomized
-    hash(); SURVEY §2 F9)."""
-    from kgp.operators.embed import with_embedding
-
-    docs = extract_docs(_pages(spark, sf_dir))
-    return with_embedding(
-        docs.select("url", "extracted_text"), text_col="extracted_text"
-    ).select("url", "embedding")
-
-
-@register("pages_segment_triples", None)
+@register(
+    "pages_segment_triples",
+    f"""
+WITH {_PAGES_CTE}, {_SEG_CTE},
+segd AS (
+  SELECT url || ':segment:' || CAST(seg_idx + 1 AS VARCHAR) AS seg_id,
+         text
+  FROM seg
+),
+m2 AS (
+  SELECT s.seg_id, gaz.surface, gaz.label,
+         CAST(strpos(' ' || s.text || ' ',
+                     ' ' || gaz.surface || ' ') AS BIGINT) - 1
+           AS first_offset
+  FROM segd s, {_GAZ_SQL}
+  WHERE strpos(' ' || s.text || ' ', ' ' || gaz.surface || ' ') > 0
+),
+c2 AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY seg_id ORDER BY first_offset, surface) AS rnk
+  FROM m2 WHERE label IN ({_LABELS_SQL})
+),
+t2 AS (
+  SELECT DISTINCT 'page:' || seg_id AS subj,
+         'contains_entity' AS pred,
+         'entity:' || replace(lower(surface), ' ', '_') AS obj
+  FROM c2 WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+)
+SELECT subj, pred, obj,
+       'edge:' || subj || ':' || obj || ':contains_entity' AS edge_id
+FROM t2
+""",
+    tier=1,
+)
 def q_pages_segment_triples(spark, sf_dir):
     """Segment-level KG (strategies/youtube.py:177 store_segment_in_kg;
     F4 1-based namespacing `{doc_id}:segment:{i}`): gazetteer mentions
@@ -162,3 +279,291 @@ def q_pages_segment_triples(spark, sf_dir):
         segs, gazetteer_df(spark), id_col="seg_id", text_col="text"
     ).withColumnRenamed("url", "seg_id")
     return build_triples(cap_mentions(m, doc_col="seg_id"), doc_col="seg_id")
+
+
+# ---------------------------------------------------------------------------
+# P2 — freshness filter (pushdown)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_fresh_filter",
+    f"""
+WITH {_PAGES_CTE}
+SELECT url, epoch_us(warc_ts) AS ts_us, lang FROM pages
+WHERE warc_ts >= TIMESTAMP '2024-07-01 00:00:00'
+""",
+    tier=1,
+)
+def q_pages_fresh(spark, sf_dir):
+    """P2 freshness filter (src/ingest/youtube.py:31-33): pushdown-able
+    timestamp predicate; html column never read (column pruning)."""
+    return (
+        _pages(spark, sf_dir)
+        .filter(F.col("warc_ts") >= F.lit("2024-07-01"))
+        .select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias(
+                "ts_us"
+            ),
+            "lang",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2/X5 — linking + canonicalization on the pages KG
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_linked_entities",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE}
+SELECT c.url, c.surface, c.label, c.first_offset, al.canonical_id
+FROM capped c JOIN {_ALIAS_SQL} ON c.surface = al.surface
+WHERE c.rnk <= {MAX_ENTITIES_PER_DOC}
+""",
+    tier=1,
+)
+def q_pages_linked(spark, sf_dir):
+    """X2 — alias-dict linking of page entities (pages gazetteer has
+    real alias groups: Ada Lovelace / A. Lovelace / Lovelace …)."""
+    from kgp.operators.linking import link_mentions
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    alias = spark.createDataFrame(
+        [(s, c) for s, _, c in ALIAS_DICT],
+        "surface string, canonical_id string",
+    )
+    return link_mentions(cap_mentions(m), alias)
+
+
+@register(
+    "pages_canonical_entities",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE}, {_ENTS_CTE},
+am AS (SELECT e.entity_id, al.canonical_id AS grp
+       FROM ents e JOIN {_ALIAS_SQL} ON e.name = al.surface),
+grpsz AS (SELECT grp, count(*) AS n, min(entity_id) AS canon
+          FROM am GROUP BY 1)
+SELECT e.entity_id, e.name, 'Entity' AS label, e.typ AS type,
+       CASE WHEN g.n >= 2 THEN g.canon ELSE e.entity_id END
+         AS canonical_id
+FROM ents e
+LEFT JOIN am ON e.entity_id = am.entity_id
+LEFT JOIN grpsz g ON am.grp = g.grp
+""",
+    tier=1,
+)
+def q_pages_canonical(spark, sf_dir):
+    """X5 — CC canonicalization of the pages entity table; the SQL
+    oracle computes the closed form (min entity_id per ≥2-member alias
+    group) that connected components must converge to."""
+    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    ents = build_entities(cap_mentions(m))
+    alias = spark.createDataFrame(
+        [(s, c) for s, _, c in ALIAS_DICT],
+        "surface string, canonical_id string",
+    )
+    return canonicalize_entities(ents, same_as_from_alias(ents, alias))
+
+
+# ---------------------------------------------------------------------------
+# X3/X4 — fuzzy dedup over extracted page text
+# ---------------------------------------------------------------------------
+
+def _minhash_pages_sql(threshold: float) -> str:
+    from kgp.operators.linking import LSH_BANDS, LSH_ROWS, MINHASH_K
+
+    sig_cols = ", ".join(
+        f"min(substr(d, {i * 8 + 1}, 8)) AS h{i}" for i in range(MINHASH_K)
+    )
+
+    def band_key(b: int) -> str:
+        cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        return "md5(" + " || '|' || ".join(cols) + ")"
+
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT url, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_PAGES_CTE},
+wt AS (SELECT url, string_split(' ' || text, ' ') AS w FROM pages),
+sh AS (SELECT url,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  FOR i IN range(1, len(w) - 1)])
+         END AS sh
+       FROM wt),
+ex AS (SELECT url, sha256(unnest(sh)) || md5(unnest(sh)) AS d FROM sh),
+sig AS (SELECT url, {sig_cols} FROM ex GROUP BY url),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.url AS id_a, b.url AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.url < b.url)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.url = c.id_a
+  JOIN sh sb ON sb.url = c.id_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+@register("pages_near_dup_pairs", _minhash_pages_sql(0.5), tier=1)
+def q_pages_near_dups(spark, sf_dir):
+    """X3/X4 — MinHash-LSH fuzzy dedup over extracted page text. The
+    synthetic corpus plants real near-duplicates (every 37th page is a
+    ~9%-perturbed copy of its predecessor, kgp.synth), so this gate
+    matches on a non-empty pair set."""
+    from kgp.operators.dedup import near_dup_pairs_minhash
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return near_dup_pairs_minhash(
+        docs, id_col="url", text_col="extracted_text", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal — binary columns with typed metadata
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_html_media_features",
+    f"""
+WITH {_PAGES_CTE}
+SELECT url, 0 AS media_idx, 'html' AS kind,
+       CAST(octet_length(html) AS BIGINT) AS n_bytes,
+       md5(decode(html)) AS payload_md5
+FROM pages
+""",
+    tier=1,
+)
+def q_pages_media(spark, sf_dir):
+    """Multimodal: typed metadata over the binary html column (size +
+    digest — both engines hash the same payload bytes)."""
+    from kgp.operators.multimodal import media_features
+
+    return media_features(_pages(spark, sf_dir))
+
+
+@register(
+    "pages_frame_samples",
+    f"""
+WITH {_PAGES_CTE},
+fr AS (SELECT url, len(string_split(text, ' ')) AS n FROM pages),
+fx AS (SELECT url,
+         unnest(range(greatest(
+           CAST(ceil((0.5 * n) / 30.0) AS BIGINT), 1))) AS frame_idx
+       FROM fr)
+SELECT url, CAST(frame_idx AS INT) AS frame_idx,
+       30.0 * frame_idx AS frame_ts_s,
+       md5(url || '|' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM fx
+""",
+    tier=1,
+)
+def q_pages_frames(spark, sf_dir):
+    """Multimodal: deterministic frame sampling at the 30 s cadence."""
+    from kgp.operators.multimodal import frame_sample_stub
+
+    return frame_sample_stub(_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text analysis twins on pages (ops already gated on documents — tier 3)
+# ---------------------------------------------------------------------------
+
+def _pages_qf_sql() -> str:
+    from kgp.operators.textstats import ENGLISH_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+    return f"""
+SELECT url,
+       CAST(len(list_filter(w, x -> list_contains({stop}, lower(x))))
+            AS BIGINT) * 10000 // len(w) AS stopword_ratio_e4,
+       CAST(len(w) AS BIGINT) AS n_tokens
+FROM (SELECT url, string_split(' ' || text, ' ') AS w FROM pages)
+"""
+
+
+@register(
+    "pages_quality_scores",
+    f"""
+WITH {_PAGES_CTE},
+qf AS ({_pages_qf_sql()})
+SELECT url,
+       100 * LEAST(n_tokens, 50)
+         + (5 * LEAST(stopword_ratio_e4, 2000)) // 2 AS quality_e4
+FROM qf
+""",
+    tier=3,
+)
+def q_pages_quality(spark, sf_dir):
+    """Text-quality scoring over extracted page text."""
+    from kgp.operators.textstats import quality_score
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return quality_score(docs, id_col="url", text_col="extracted_text")
+
+
+def _pages_lang_sql() -> str:
+    from kgp.operators.textstats import LANG_MARKERS
+
+    selects = "\nUNION ALL ".join(
+        f"SELECT url, '{lang}' AS lang, "
+        f"len(list_intersect(tok, "
+        f"[{', '.join(chr(39) + m + chr(39) for m in markers)}])) AS hits "
+        "FROM toks"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+toks AS (SELECT url, list_distinct(string_split(' ' || text, ' ')) AS tok
+         FROM pages),
+s AS ({selects}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY hits DESC, lang DESC) AS rn FROM s)
+"""
+
+
+@register(
+    "pages_lang_id",
+    f"""
+WITH {_PAGES_CTE}, {_pages_lang_sql()}
+SELECT url, lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+FROM r WHERE rn = 1
+""",
+    tier=3,
+)
+def q_pages_lang(spark, sf_dir):
+    """Marker-based language ID over extracted page text."""
+    from kgp.operators.textstats import lang_id
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return lang_id(docs, id_col="url", text_col="extracted_text")
+
+
+# ---------------------------------------------------------------------------
+# F9 — mock embeddings (numpy Generator inside a pandas UDF — not
+# SQL-expressible, rows-only by design)
+# ---------------------------------------------------------------------------
+
+@register("pages_embeddings", None)
+def q_pages_embeddings(spark, sf_dir):
+    """F9 — deterministic mock embeddings over extracted page text
+    (md5-seeded deviation from the reference's process-randomized
+    hash(); SURVEY §2 F9)."""
+    from kgp.operators.embed import with_embedding
+
+    docs = extract_docs(_pages(spark, sf_dir))
+    return with_embedding(
+        docs.select("url", "extracted_text"), text_col="extracted_text"
+    ).select("url", "embedding")

@@ -48,19 +48,34 @@ _GAZ_W = 1.0 / np.arange(1, len(_GAZ_SURFACES) + 1) ** 1.1
 _GAZ_W /= _GAZ_W.sum()
 
 
+# near-duplicate injection: every 37th page is a perturbed copy of its
+# predecessor (~9% of tokens swapped ⇒ 3-shingle Jaccard ≈ 0.55-0.8),
+# so fuzzy-dedup gates over pages match on REAL pairs, not 0 = 0.
+# 37 ∤ 1, so a dup's base is never itself a dup (no recursion chains).
+_NEAR_DUP_EVERY = 37
+_NEAR_DUP_TOKEN_STRIDE = 11
+
+
 def page_row(row_id: int, seed: int = SYNTH_SEED) -> dict:
     """Generate one page — pure function of (seed, row_id)."""
     rng = np.random.default_rng(seed * 1_000_003 + row_id)
     domain = _DOMAINS[rng.choice(len(_DOMAINS), p=_DOMAIN_W)]
     url = f"https://{domain}/p/{row_id}"
-    n_words = int(rng.integers(30, 150))
-    words = list(rng.choice(_FILLER, size=n_words))
-    # entity injection: zipf-ranked draw, 0..25 mentions per page
-    n_ents = min(int(rng.zipf(1.6)) - 1, 25)
-    for _ in range(n_ents):
-        surface = _GAZ_SURFACES[rng.choice(len(_GAZ_SURFACES), p=_GAZ_W)]
-        pos = int(rng.integers(0, len(words) + 1))
-        words.insert(pos, surface)
+    if row_id > 0 and row_id % _NEAR_DUP_EVERY == 0:
+        words = page_row(row_id - 1, seed)["text"].split(" ")
+        for i in range(
+            _NEAR_DUP_TOKEN_STRIDE // 2, len(words), _NEAR_DUP_TOKEN_STRIDE
+        ):
+            words[i] = str(rng.choice(_FILLER))
+    else:
+        n_words = int(rng.integers(30, 150))
+        words = list(rng.choice(_FILLER, size=n_words))
+        # entity injection: zipf-ranked draw, 0..25 mentions per page
+        n_ents = min(int(rng.zipf(1.6)) - 1, 25)
+        for _ in range(n_ents):
+            surface = _GAZ_SURFACES[rng.choice(len(_GAZ_SURFACES), p=_GAZ_W)]
+            pos = int(rng.integers(0, len(words) + 1))
+            words.insert(pos, surface)
     text = " ".join(words)
     # whitespace quirks: double space / leading space on some pages
     if rng.random() < 0.10:
@@ -108,6 +123,37 @@ def synth_pages(
 
     rng_df = spark.range(0, n, numPartitions=partitions)
     return rng_df.mapInPandas(gen, schema=schemas.PAGES)
+
+
+# bump when page_row semantics change — keys the materialized-parquet
+# cache so stale snapshots of an older generator are never reused
+PAGES_SYNTH_VERSION = "v2"
+_PAGES_CACHE_DIR = "/tmp/kgp_pages"
+
+
+def pages_parquet_path(n: int, seed: int = SYNTH_SEED) -> str:
+    return f"{_PAGES_CACHE_DIR}/{PAGES_SYNTH_VERSION}_n{n}_seed{seed}"
+
+
+def materialize_pages(
+    spark: SparkSession, n: int, seed: int = SYNTH_SEED
+) -> str:
+    """Write the synthetic pages table to parquet once (keyed by
+    generator version + n + seed) and return the path.
+
+    Both the Spark queries AND their DuckDB oracle twins read THIS
+    parquet, so the two engines compare over identical bytes — the
+    generator runs once per (n, seed) instead of once per query, and
+    generation nondeterminism is structurally impossible to leak into
+    the comparison. At 100 TB the analog is the ingest job writing the
+    Iceberg pages table that every downstream query shares.
+    """
+    import os
+
+    path = pages_parquet_path(n, seed)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n, seed).write.mode("overwrite").parquet(path)
+    return path
 
 
 def pages_scale_for_sf(sf_dir: str) -> int:

@@ -27,7 +27,7 @@ def test_approx_distinct_within_tolerance(spark):
 def test_percentile_approx_within_tolerance(spark):
     from kgp.queries_ext import q_events_percentiles
 
-    approx = {r["event_type"]: r["p50_p95_p99"]
+    approx = {r["event_type"]: (r["p50"], r["p95"], r["p99"])
               for r in q_events_percentiles(spark, SF).collect()}
     exact_rows = (
         spark.read.parquet(f"{SF}/events.parquet")
