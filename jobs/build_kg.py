@@ -55,7 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.synth:
         from kgp.synth import synth_pages
 
-        pages_path = f"{args.output}/_synth_pages"
+        # cache path keyed by N: a resumed --output with a different
+        # --synth must regenerate, not silently reuse the stale count
+        pages_path = f"{args.output}/_synth_pages_{args.synth}"
         import os
         if not os.path.exists(f"{pages_path}/_SUCCESS"):
             synth_pages(spark, args.synth).write.mode(

@@ -39,8 +39,36 @@ def lineage_dir(out_dir: str) -> str:
 
 
 def per_partition_counts(spark: SparkSession, stage_path: str) -> DataFrame:
-    """(partition_id, rows_out) read back from the committed parquet:
-    one output file ≡ one write partition."""
+    """(partition_id, rows_out) from the committed parquet FOOTERS:
+    one output file ≡ one write partition.
+
+    Footer metadata is a few KB per file, so counting costs one
+    metadata read per file instead of a second full pass over the
+    stage's data (at a 100 TB stage the data re-scan would double the
+    stage's read volume; in an Iceberg deployment the snapshot summary
+    supplies these numbers outright). Falls back to a data scan only
+    when footers aren't reachable from the driver (remote FS without a
+    pyarrow filesystem)."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            glob.glob(os.path.join(stage_path, "*.parquet"))
+            + glob.glob(os.path.join(stage_path, "*", "*.parquet"))
+        )
+        if files:
+            rows = [
+                (i, pq.ParquetFile(f).metadata.num_rows)
+                for i, f in enumerate(files)
+            ]
+            return spark.createDataFrame(
+                rows, "partition_id int, rows_out bigint"
+            )
+    except (ImportError, OSError):
+        pass
     df = spark.read.parquet(stage_path)
     by_file = (
         df.groupBy(F.input_file_name().alias("_f"))

@@ -92,7 +92,11 @@ def mentions_arrow(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            padded = " " + pdf[text_col].astype("string") + " "
+            # NULL text ⇒ no match (parity with the relational path,
+            # where locate() on NULL filters out); without fillna the
+            # nullable-string dtype propagates pd.NA through `pos >= 0`
+            # and the boolean mask raises
+            padded = " " + pdf[text_col].astype("string").fillna("") + " "
             frames = []
             for surface, label in gaz:
                 pos = padded.str.find(" " + surface + " ")

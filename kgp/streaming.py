@@ -50,6 +50,31 @@ def triples_for_batch(batch_df: DataFrame) -> DataFrame:
     return build_triples(cap_mentions(mentions))
 
 
+def _read_sink(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Read the triples sink, or None before the first batch commits.
+
+    First-batch detection matches the PATH_NOT_FOUND error CLASS
+    (getCondition, with the deprecated getErrorClass as fallback), not
+    a substring of the rendered message — a renamed message must fail
+    loudly rather than skip the dedup join and duplicate on replay.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir)
+    except AnalysisException as e:
+        klass = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                klass = fn()
+                if klass:
+                    break
+        if klass != "PATH_NOT_FOUND":
+            raise
+        return None
+
+
 def start_kg_stream(
     spark: SparkSession,
     pages_dir: str,
@@ -57,28 +82,44 @@ def start_kg_stream(
     checkpoint_dir: str,
 ):
     """Continuous KG construction: new page files → triples appended
-    idempotently. Returns the StreamingQuery (caller awaits/stops)."""
+    idempotently. Returns the StreamingQuery (caller awaits/stops).
+
+    The sink is PARTITIONED BY the pages' ingest date (warc_ts day),
+    and the replay-dedup anti-join reads ONLY the partitions whose
+    dates appear in the current micro-batch (partition pruning on the
+    isin filter). The per-batch read cost is therefore bounded by the
+    batch's date window, not by the cumulative sink size — at a 100 TB
+    sink the old whole-sink anti-join re-scanned everything every
+    micro-batch. Tradeoff (documented): dedup is scoped per ingest
+    date; a url re-crawled on a LATER date appends fresh rows (an
+    upsert compaction job owns cross-date reconciliation), while crash
+    replays — same batch, same dates — still insert nothing.
+    """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         new_triples = triples_for_batch(batch_df)
-        try:
-            existing = spark.read.parquet(out_dir).select(
-                "subj", "pred", "obj"
-            )
-        except AnalysisException as e:
-            # only the missing-sink (first batch) case may be skipped;
-            # any other read failure must abort the batch — silently
-            # dropping the anti-join would append duplicates on replay
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            existing = None
+        # subj = 'page:' || url, so the batch's (subj → date) map is a
+        # tiny broadcast; dates per micro-batch are a handful.
+        url_dates = batch_df.select(
+            F.concat(F.lit("page:"), F.col("url")).alias("subj"),
+            F.to_date("warc_ts").alias("ingest_date"),
+        ).distinct()
+        new_triples = new_triples.join(F.broadcast(url_dates), "subj")
+        batch_dates = [
+            r["ingest_date"]
+            for r in url_dates.select("ingest_date").distinct().collect()
+        ]
+        existing = _read_sink(spark, out_dir)
         if existing is not None:
+            overlap = existing.filter(
+                F.col("ingest_date").isin(batch_dates)
+            ).select("subj", "pred", "obj")
             new_triples = new_triples.join(
-                existing, ["subj", "pred", "obj"], "left_anti"
+                overlap, ["subj", "pred", "obj"], "left_anti"
             )
-        new_triples.write.mode("append").parquet(out_dir)
+        new_triples.write.mode("append").partitionBy(
+            "ingest_date"
+        ).parquet(out_dir)
 
     return (
         stream_pages(spark, pages_dir)

@@ -59,6 +59,34 @@ def test_dim_join_uses_broadcast_hash_join(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_temporal_search_topk_is_take_ordered(spark):
+    """The final top-20 must plan as TakeOrderedAndProject (distributed
+    per-partition top-k), never a row_number over a global Window
+    (single-task sort of every deduped row)."""
+    from kgp.queries import queries
+
+    df = queries()["temporal_search_filtered"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_signature_stays_hash_aggregate(spark):
+    """BIGINT signature chunks keep the K min-aggs in fixed-width
+    hash-agg buffers; string mins would demote to SortAggregate (an
+    extra per-partition sort on the widest stage of the LSH path)."""
+    from kgp.operators.linking import minhash_signature, shingles_col
+
+    docs = extract_docs(synth_pages(spark, 20))
+    sets_df = docs.select(
+        "url", shingles_col(F.col("extracted_text")).alias("_sh")
+    )
+    plan = _plan(minhash_signature(sets_df, "url", "_sh"))
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_triples_build_has_no_extra_shuffles(spark):
     """pages→triples: shuffles only where semantics require them (the
     per-doc cap window + the edge dedup) — ≤ 2 hash exchanges."""

@@ -49,6 +49,30 @@ def test_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     q3.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(got)
 
+    # the sink is date-partitioned and the per-batch dedup read prunes
+    # to the batch's dates — it must NOT scan the cumulative sink
+    import os
+
+    parts = [
+        d for d in os.listdir(out_dir) if d.startswith("ingest_date=")
+    ]
+    assert len(parts) > 1, parts  # synthetic warc_ts spans many days
+    one_date = parts[0].split("=", 1)[1]
+    pruned = spark.read.parquet(out_dir).filter(
+        F.col("ingest_date").isin([one_date])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ingest_date" in plan
+    # partition pruning: the filtered scan touches a strict subset of files
+    total_files = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert 0 < pruned.count() < len(got)
+    assert len(total_files) > 1
+
 
 def test_html_binary_roundtrip_byte_identical(spark):
     pages = synth_pages(spark, 80)
