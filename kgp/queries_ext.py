@@ -1102,6 +1102,103 @@ def q_part_brand_stats(spark, sf_dir):
 
 
 @register(
+    "source_strategy_dispatch",
+    r"""
+WITH items AS (
+  SELECT doc_id, text,
+         CASE doc_id % 3 WHEN 0 THEN 'youtube'
+                         WHEN 1 THEN 'twitter'
+                         ELSE 'instagram' END AS platform,
+         CASE
+           WHEN doc_id % 3 = 0 AND doc_id % 7 = 0
+             THEN 'https://youtube.com/broken'
+           WHEN doc_id % 3 = 0
+             THEN 'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 3 = 1
+             THEN 'https://twitter.com/someuser/status/' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://instagram.com/p/pic' || CAST(doc_id AS VARCHAR) || '/'
+         END AS url
+  FROM documents
+),
+norm AS (
+  SELECT *,
+         CASE platform
+           WHEN 'youtube' THEN regexp_extract(url, '(?:v=|youtu\.be/)([A-Za-z0-9_-]+)', 1)
+           WHEN 'twitter' THEN regexp_extract(url, 'status/([0-9A-Za-z]+)', 1)
+           ELSE (string_split(regexp_replace(url, '/+$', ''), '/'))[
+                  len(string_split(regexp_replace(url, '/+$', ''), '/'))]
+         END AS raw_id
+  FROM items
+)
+SELECT doc_id, platform,
+       CASE WHEN raw_id = '' THEN url ELSE raw_id END AS item_id,
+       CASE platform
+         WHEN 'youtube' THEN 'https://www.youtube.com/watch?v='
+           || CASE WHEN raw_id = '' THEN url ELSE raw_id END
+         WHEN 'twitter' THEN 'https://twitter.com/i/web/status/'
+           || CASE WHEN raw_id = '' THEN url ELSE raw_id END
+         ELSE url
+       END AS canonical_url,
+       CASE WHEN platform = 'instagram' THEN '' ELSE text END AS text_out,
+       CAST(10000 AS BIGINT) AS confidence_e4,
+       '' AS topics
+FROM norm
+""",
+)
+def q_source_strategy_dispatch(spark, sf_dir):
+    """S2 — full per-source ingest strategy dispatch (one policy per
+    platform: youtube id-regex+fallback / twitter status id /
+    instagram last-path-segment with empty-text stub, plus the
+    constant confidence/topics columns — src/ingest/{youtube,twitter,
+    instagram}.py). Platform + url are synthesized deterministically
+    from doc_id in BOTH engines (doc_id % 3; every 21st doc gets a
+    malformed youtube url so the regex-miss fallback is exercised on
+    the gate)."""
+    from kgp.operators.sources import normalize_content_items
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m3 = F.col("doc_id") % 3
+    items = docs.select(
+        "doc_id",
+        "text",
+        F.when(m3 == 0, "youtube")
+        .when(m3 == 1, "twitter")
+        .otherwise("instagram")
+        .alias("platform"),
+        F.when(
+            (m3 == 0) & (F.col("doc_id") % 7 == 0),
+            F.lit("https://youtube.com/broken"),
+        )
+        .when(
+            m3 == 0,
+            F.concat(
+                F.lit("https://www.youtube.com/watch?v=vid"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("https://twitter.com/someuser/status/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://instagram.com/p/pic"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+            )
+        )
+        .alias("url"),
+    )
+    return normalize_content_items(items).select(
+        "doc_id", "platform", "item_id", "canonical_url", "text_out",
+        "confidence_e4", "topics",
+    )
+
+
+@register(
     "source_id_extract",
     r"""
 SELECT doc_id, source,
@@ -1109,6 +1206,7 @@ SELECT doc_id, source,
                 source) AS source_num
 FROM documents
 """,
+    tier=3,
 )
 def q_source_id_extract(spark, sf_dir):
     """P1 — regex id extraction with input-fallback
