@@ -115,6 +115,17 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # production minhash family (xxhash64) — side metric, NOT part of
+    # the headline total so round-over-round totals stay comparable
+    from kgp.operators.dedup import near_dup_pairs_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast_df = near_dup_pairs_minhash(docs, threshold=0.5, family="fast")
+    fast_df.count()
+    t0 = time.perf_counter()
+    fast_df.count()
+    minhash_fast_sec = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -126,6 +137,7 @@ def main() -> None:
                 "cold_sec": cold,
                 "sf": sf_dir,
                 "cpus": cpus,
+                "minhash_fast_sec": minhash_fast_sec,
                 "kg_docs_per_sec": round(n_pages / kg_sec, 1),
                 "kg_docs_per_sec_fused": round(n_pages / fused_sec, 1),
                 "kg_pages": n_pages,

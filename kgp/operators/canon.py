@@ -33,16 +33,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Union-find on the driver for SMALL edge sets (≤ the caller's
+    threshold — the same justification as a broadcast join: the data
+    provably fits in one process). Produces the identical
+    (node, component=min node id) labeling as the distributed loop
+    (equality asserted in tests/test_linking_canon.py)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = find(row["a"]), find(row["b"])
+        if a != b:
+            # min-label union ⇒ every root is its component's min id
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = set(parent) | {v for v in parent.values()}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return e.sparkSession.createDataFrame(
+        rows, "node string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
     `edges` is an undirected same-as pair set; ids are strings. Nodes
     with no edges are absent (callers left-join and coalesce to self).
+
+    Size dispatch: a same-as graph under `small_graph_threshold`
+    directed edges resolves via driver-side union-find (one bounded
+    collect — the iterative loop's ~1 s/round of action+checkpoint
+    overhead dwarfs an 11-node graph); anything larger runs the
+    hash-min + pointer-doubling loop, whose O(log diameter) rounds are
+    the 100 TB path. Pass small_graph_threshold=0 to force the
+    distributed loop.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -50,6 +88,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if (
+        small_graph_threshold
+        # probe scans at most threshold+1 rows, not the full edge set
+        and e.limit(small_graph_threshold + 1).count()
+        <= small_graph_threshold
+    ):
+        return _cc_local(e)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()

@@ -152,17 +152,26 @@ def near_dup_pairs_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    family: str = "oracle",
 ) -> DataFrame:
     """MinHash-LSH candidates → exact shingle-Jaccard ≥ threshold.
 
     The full fuzzy-dedup scale path: O(n²) never materializes; the
-    verification join only sees band-colliding pairs.
+    verification join only sees band-colliding pairs. family='oracle'
+    (DuckDB-replicable sha256||md5 chunks) for driver-gated queries;
+    family='fast' (xxhash64) for the production hot path — see
+    kgp.operators.linking.minhash_signature.
     """
     sets_df = docs.select(
         id_col, shingles_col(F.col(text_col)).alias("shingles")
     )
-    sig = minhash_signature(sets_df, id_col, "shingles")
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    sig = minhash_signature(sets_df, id_col, "shingles", family=family)
+    cand = lsh_candidate_pairs(
+        lsh_bands(
+            sig, id_col, render="hex8" if family == "oracle" else "dec"
+        ),
+        id_col,
+    )
     return score_candidates_jaccard(
         cand, sets_df, id_col, "shingles", threshold
     )

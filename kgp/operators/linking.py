@@ -129,25 +129,39 @@ def minhash_signature(
     id_col: str,
     set_col: str,
     k: int = MINHASH_K,
+    family: str = "oracle",
 ) -> DataFrame:
-    """(id, h0..h{k-1}) — min over the i-th 8-hex-char chunk of
-    sha256(e)||md5(e) per element e.
+    """(id, h0..h{k-1}) signature; min-agg per id in BIGINT (K long
+    min-buffers fit the fixed-width hash-agg row — HashAggregate; K
+    string buffers would demote to SortAggregate).
 
-    explode is narrow; the groupBy(id) min-agg does map-side partial
-    aggregation, so the shuffle carries K short strings per id, not
-    the exploded set. Hash family: TWO digests per element (96 hex
-    chars) sliced into K=12 independent 32-bit chunks — same min-wise
-    uniformity as K separate seeded hashes (Broder 1997) at 1/6 the
-    hashing cost; both sha256 and md5 are byte-identical in DuckDB so
-    the SQL oracle replicates the family exactly.
+    Two pinned hash families:
+
+    * ``oracle`` — min over the i-th 8-hex chunk of sha256(e)||md5(e)
+      (TWO digests = 96 hex = K=12 independent 32-bit chunks; same
+      min-wise uniformity as K seeded hashes, Broder 1997). Both
+      digests are byte-identical in DuckDB, so the driver's SQL twin
+      replicates the family exactly — this is the VERIFIABLE family.
+    * ``fast`` — h_i(e) = xxhash64(i, e): JVM-native, no hex-string
+      digests, ~2× cheaper per shingle. Not expressible in DuckDB —
+      the PRODUCTION family for the 100 TB hot path; recall parity vs
+      the oracle family is asserted in tests.
+
+    explode is narrow; the groupBy(id) min-agg partially aggregates
+    map-side, so the shuffle carries K longs per id, not the exploded
+    set.
     """
+    if family == "fast":
+        el = df.select(id_col, F.explode(set_col).alias("_e"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_e"))).alias(f"h{i}")
+            for i in range(k)
+        ]
+        return el.groupBy(id_col).agg(*aggs)
     assert k * 8 <= 96, "k>12 needs a third digest"
     # digest materialized in its own projection so the K min-aggs
-    # slice a bound column instead of re-evaluating the hashes K times.
-    # Chunks aggregate as BIGINT (conv base16→10), not 8-char strings:
-    # K string min-buffers overflow the fixed-width hash-agg row and
-    # demote the stage to SortAggregate; longs keep it HashAggregate.
-    # min(BIGINT) == min(fixed-width hex) — same ordering.
+    # slice a bound column instead of re-evaluating the hashes K times;
+    # min(BIGINT via conv base16→10) == min(fixed-width hex chunk).
     el = df.select(id_col, F.explode(set_col).alias("_e")).select(
         id_col,
         F.concat(F.sha2(F.col("_e"), 256), F.md5(F.col("_e"))).alias("_d"),
@@ -168,16 +182,22 @@ def lsh_bands(
     id_col: str,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    render: str = "hex8",
 ) -> DataFrame:
     """(id, band_idx, band_key): band_key = md5 of the band's hashes.
 
-    Signature elements are BIGINT in-flight (see minhash_signature);
-    the band key re-renders them as the original lowercase 8-hex-char
-    chunks so the md5 family — and the DuckDB oracle — is unchanged.
+    Signature elements are BIGINT in-flight (see minhash_signature).
+    render='hex8' (oracle family) re-renders each element as its
+    original lowercase 8-hex chunk so the md5 band key — and the
+    DuckDB oracle — is unchanged; render='dec' (fast family) hashes
+    the decimal rendering (band keys only need determinism, K values
+    per doc, negligible cost either way).
     """
 
-    def _hx(c: str):
-        return F.lower(F.lpad(F.hex(F.col(c)), 8, "0"))
+    def _el(c: str):
+        if render == "hex8":
+            return F.lower(F.lpad(F.hex(F.col(c)), 8, "0"))
+        return F.col(c).cast("string")
 
     band_structs = F.array(
         *[
@@ -186,7 +206,7 @@ def lsh_bands(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[_hx(f"h{b * rows + r}") for r in range(rows)],
+                        *[_el(f"h{b * rows + r}") for r in range(rows)],
                     )
                 ).alias("band_key"),
             )

@@ -88,3 +88,25 @@ def test_ann_bruteforce_topk_is_true_topk(spark):
     )
     assert got["neighbor_id"] == expect
     assert abs(got["sim_e4"] / 10000 - float(np.max(sims))) < 2e-4
+
+
+def test_minhash_fast_family_matches_oracle_family(spark):
+    """The production xxhash64 family must find the same verified pair
+    set as the DuckDB-replicable sha/md5 family (both feed the same
+    exact-Jaccard verification; only candidate recall could differ)."""
+    from kgp.operators.dedup import near_dup_pairs_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    oracle = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in near_dup_pairs_minhash(
+            docs, threshold=0.5, family="oracle"
+        ).collect()
+    }
+    fast = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in near_dup_pairs_minhash(
+            docs, threshold=0.5, family="fast"
+        ).collect()
+    }
+    assert oracle and fast == oracle

@@ -29,7 +29,7 @@ def test_connected_components_chain_and_clique(spark):
         "src string, dst string",
     )
     cc = {r["node"]: r["component"] for r in
-          connected_components(edges).collect()}
+          connected_components(edges, small_graph_threshold=0).collect()}
     assert cc == {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "x": "x", "y": "x", "z": "x",
@@ -42,8 +42,12 @@ def test_connected_components_partition_invariance(spark):
     rows = [(f"n{i}", f"n{i + 1}") for i in range(0, 40, 2)]
     e1 = spark.createDataFrame(rows, "src string, dst string").repartition(1)
     e2 = spark.createDataFrame(rows, "src string, dst string").repartition(13)
-    r1 = sorted(map(tuple, connected_components(e1).collect()))
-    r2 = sorted(map(tuple, connected_components(e2).collect()))
+    r1 = sorted(map(tuple,
+                    connected_components(e1, small_graph_threshold=0)
+                    .collect()))
+    r2 = sorted(map(tuple,
+                    connected_components(e2, small_graph_threshold=0)
+                    .collect()))
     assert r1 == r2
 
 
@@ -139,7 +143,8 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     gives O(log d) rounds; plain propagation would need 59)."""
     rows = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(59)]
     cc = connected_components(
-        spark.createDataFrame(rows, "src string, dst string")
+        spark.createDataFrame(rows, "src string, dst string"),
+        small_graph_threshold=0,
     )
     comps = {r["component"] for r in cc.collect()}
     assert comps == {"n00"}
@@ -159,3 +164,25 @@ def test_same_as_star_not_clique(spark):
     edges = same_as_from_alias(ents, alias).collect()
     assert len(edges) == 5
     assert all(r["id_a"] == "entity:e0" for r in edges)
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The size-dispatched union-find must produce the identical
+    labeling as the hash-min + pointer-doubling loop."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"v{rng.randrange(80):02d}", f"v{rng.randrange(80):02d}")
+        for _ in range(120)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    local = sorted(map(tuple, connected_components(e).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(e, small_graph_threshold=0).collect(),
+        )
+    )
+    assert local == dist and local
