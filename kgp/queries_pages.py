@@ -96,9 +96,9 @@ sgx AS (SELECT url, w, n, nseg, unnest(range(nseg)) AS k FROM sg),
 seg AS (
   SELECT url,
          CAST(k AS INT) AS seg_idx,
-         30.0 * k AS start_s,
-         CASE WHEN k < nseg - 1 THEN 30.0 * (k + 1)
-              ELSE 0.5 * n END AS end_s,
+         CAST(30.0 * k AS DOUBLE) AS start_s,
+         CAST(CASE WHEN k < nseg - 1 THEN 30.0 * (k + 1)
+                   ELSE 0.5 * n END AS DOUBLE) AS end_s,
          (CASE WHEN k = 0 THEN ' ' ELSE '' END)
            || array_to_string(list_slice(w, k * 60 + 1, k * 60 + 60), ' ')
            AS text
@@ -465,7 +465,7 @@ fx AS (SELECT url,
            CAST(ceil((0.5 * n) / 30.0) AS BIGINT), 1))) AS frame_idx
        FROM fr)
 SELECT url, CAST(frame_idx AS INT) AS frame_idx,
-       30.0 * frame_idx AS frame_ts_s,
+       CAST(30.0 * frame_idx AS DOUBLE) AS frame_ts_s,
        md5(url || '|' || CAST(frame_idx AS VARCHAR)) AS frame_md5
 FROM fx
 """,
@@ -476,6 +476,103 @@ def q_pages_frames(spark, sf_dir):
     from kgp.operators.multimodal import frame_sample_stub
 
     return frame_sample_stub(_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# per-video info + corpus stats (api/routers/temporal.py:222-265, 313-341
+# — the reference's stats endpoint returns hardcoded zeros; this engine
+# computes the real numbers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_video_info",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE},
+ne AS (SELECT url, CAST(count(DISTINCT surface) AS BIGINT) AS n_entities
+       FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+       GROUP BY 1)
+SELECT d.url, d.n_segments,
+       CAST(0.5 * len(string_split(p.text, ' ')) AS DOUBLE) AS duration_s,
+       COALESCE(ne.n_entities, 0) AS n_entities
+FROM docs d
+JOIN pages p ON d.url = p.url
+LEFT JOIN ne ON d.url = ne.url
+""",
+    tier=3,
+)
+def q_pages_video_info(spark, sf_dir):
+    """Per-video summary (temporal.py:222-265 get_video_info):
+    segment count, duration (0.5 s/token derivation), and the distinct
+    entity count across the page's capped mentions."""
+    docs = extract_docs(_pages(spark, sf_dir))
+    m = mentions_relational(docs, gazetteer_df(spark))
+    ne = (
+        cap_mentions(m)
+        .groupBy("url")
+        .agg(F.countDistinct("surface").alias("n_entities"))
+    )
+    # token count from extracted_text (= ' '+text ⇒ one extra leading
+    # empty token) — no second scan / self-join against pages
+    dur = (
+        (F.size(F.split(F.col("extracted_text"), " ", -1)) - 1).cast(
+            "double"
+        )
+        * 0.5
+    ).alias("duration_s")
+    return (
+        docs.select("url", "n_segments", dur)
+        .join(ne, "url", "left")
+        .withColumn("n_entities", F.coalesce("n_entities", F.lit(0)))
+    )
+
+
+@register(
+    "pages_corpus_stats",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE}
+SELECT CAST((SELECT count(*) FROM docs) AS BIGINT) AS total_pages,
+       CAST((SELECT sum(n_segments) FROM docs) AS BIGINT)
+         AS total_segments,
+       CAST((SELECT count(DISTINCT
+                 'entity:' || replace(lower(surface), ' ', '_'))
+             FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}) AS BIGINT)
+         AS total_entities,
+       CAST((SELECT sum(n_segments) FROM docs) AS BIGINT) * 10000
+         // CAST((SELECT count(*) FROM docs) AS BIGINT)
+         AS avg_segments_per_page_e4
+""",
+    tier=3,
+)
+def q_pages_corpus_stats(spark, sf_dir):
+    """Corpus-level stats (temporal.py:313-341 — the reference returns
+    placeholder zeros; computed for real here): totals + avg segments
+    per page as an exact ×10⁴ integer."""
+    from kgp.operators.triples import normalize_entity_id
+
+    pages = _pages(spark, sf_dir)
+    docs = extract_docs(pages)
+    m = mentions_relational(docs, gazetteer_df(spark))
+    ents = (
+        cap_mentions(m)
+        .select(normalize_entity_id(F.col("surface")).alias("eid"))
+        .agg(F.countDistinct("eid").alias("total_entities"))
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("total_pages"),
+        F.sum("n_segments").alias("total_segments"),
+    )
+    return base.crossJoin(ents).select(
+        "total_pages",
+        "total_segments",
+        "total_entities",
+        (
+            (F.col("total_segments") * 10000)
+            .cast("long")
+            / F.col("total_pages")
+        )
+        .cast("long")
+        .alias("avg_segments_per_page_e4"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,3 +110,29 @@ def test_minhash_fast_family_matches_oracle_family(spark):
         ).collect()
     }
     assert oracle and fast == oracle
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """nprobe=2 IVF must recover a solid fraction of the exact top-10
+    (random 64-d vectors are a worst case for coarse quantization; the
+    assertion pins the contract that the probe path returns real
+    neighbors, not garbage)."""
+    from kgp.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, q, k=10).collect()
+    }
+    assert len(ivf) > 0
+    # every IVF hit must carry the exact similarity (scores are exact;
+    # only the candidate set is approximate)
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.2, recall
