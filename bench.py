@@ -50,10 +50,11 @@ def main() -> None:
         capped = cap_mentions(mentions)
         return build_triples(capped).count(), build_entities(capped).count()
 
-    # materialize input once (generation is not part of the measured op)
-    pages_path = "/tmp/kgp_bench_pages"
-    synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
+    # materialize input once (generation is not part of the measured
+    # op) — same versioned cache the oracle-gated queries read
+    from kgp.synth import materialize_pages
+
+    pages = spark.read.parquet(materialize_pages(spark, n_pages))
 
     t0 = time.perf_counter()
     run_kg(pages)  # warmup: codegen-compile every stage shape

@@ -117,6 +117,48 @@ def topk_lsh(
     )
 
 
+def _assign_centroids_gemm(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Production IVF assignment: one numpy GEMM per Arrow batch
+    against the broadcast centroid matrix — (id, vec, cid) with zero
+    shuffle and no explode (the exact JVM path materializes N×c scored
+    rows and aggregates them; at real centroid counts c ~ 2¹²-2¹⁶ that
+    intermediate dwarfs the data). Tiebreak matches the exact path:
+    np.argmax returns the FIRST maximum and centroid columns are laid
+    out in ascending cid order ⇒ min cid on ties. float64 matmul sum
+    order differs from the in-order fold by ulps, so this path backs
+    the production operator, not the value-exact driver gate."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["_cv"] for r in rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            best = (Vn @ Cn.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "_nv": pdf[vec_col],
+                    "cid": cids[best],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema="neighbor_id long, _nv array<float>, cid long",
+    )
+
+
 def topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -125,6 +167,7 @@ def topk_ivf(
     vec_col: str = "embedding",
     centroid_every: int = 50,
     nprobe: int = 2,
+    assign: str = "exact",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors to their nearest centroid, then
     search only the query's `nprobe` nearest inverted lists.
@@ -152,30 +195,40 @@ def topk_ivf(
             cosine_col(F.col(vec_out), F.col("_cv")) * 10000
         ).cast("long")
 
-    # assignment: argmax centroid per vector as a struct-max groupBy —
-    # the broadcast crossJoin is narrow and the agg partially combines
-    # map-side, so the shuffle carries ONE packed row per vector (a
-    # row_number window here would shuffle all N×c scored rows).
-    # Struct ordering (csim, -cid) == (sim desc, cid asc) tiebreak.
-    assigned = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_nv"),
+    if assign == "gemm":
+        assigned = _assign_centroids_gemm(
+            embeddings, cents, id_col, vec_col
         )
-        .join(F.broadcast(cents))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(
-                    csim("_nv").alias("s"),
-                    (-F.col("cid")).alias("negcid"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias("_best"),
-            F.first("_nv").alias("_nv"),  # constant within the group
+    else:
+        # exact assignment (driver-gated twin): argmax centroid per
+        # vector as a struct-max groupBy — the broadcast crossJoin is
+        # narrow and the agg partially combines map-side, so the
+        # shuffle carries ONE packed row per vector (a row_number
+        # window here would shuffle all N×c scored rows). Struct
+        # ordering (csim, -cid) == (sim desc, cid asc) tiebreak. The
+        # struct/array agg buffers plan as SortAggregate — acceptable
+        # at oracle scale; the gemm path above is the hot path.
+        assigned = (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_nv"),
+            )
+            .join(F.broadcast(cents))
+            .groupBy("neighbor_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        csim("_nv").alias("s"),
+                        (-F.col("cid")).alias("negcid"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("_best"),
+                F.first("_nv").alias("_nv"),  # constant within group
+            )
+            .select(
+                "neighbor_id", "_nv", F.col("_best.cid").alias("cid")
+            )
         )
-        .select("neighbor_id", "_nv", F.col("_best.cid").alias("cid"))
-    )
     # probe side: queries are few — a window over Q keys is trivial
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("_csim"), F.asc("cid")

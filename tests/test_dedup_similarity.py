@@ -136,3 +136,27 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # only the candidate set is approximate)
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_ivf_gemm_assignment_matches_exact(spark):
+    """The GEMM (pandas/numpy) assignment path must agree with the
+    exact JVM assignment almost everywhere — matmul reassociates the
+    float sum, so agreement is asserted on the resulting top-k SETS
+    (≥90% overlap), not bitwise."""
+    from pyspark.sql import functions as F
+
+    from kgp.operators.similarity import topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, q, k=10, assign="exact").collect()
+    }
+    gemm = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, q, k=10, assign="gemm").collect()
+    }
+    assert exact and gemm
+    overlap = len(exact & gemm) / len(exact)
+    assert overlap >= 0.9, overlap
