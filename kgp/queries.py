@@ -63,6 +63,12 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the pages_* oracles read the materialized pages parquet; make
+    # sure it exists even if the driver evaluates an oracle before the
+    # Spark twin has run (local pyarrow write, same page_row rows)
+    from kgp.synth import ensure_pages_parquet_local, pages_scale_for_sf
+
+    ensure_pages_parquet_local(pages_scale_for_sf("/root/testdata/sf0.01"))
     return {k: v[1] for k, v in _ordered() if v[1] is not None}
 
 

@@ -156,6 +156,33 @@ def materialize_pages(
     return path
 
 
+def ensure_pages_parquet_local(n: int, seed: int = SYNTH_SEED) -> str:
+    """Materialize the pages parquet WITHOUT a SparkSession (pandas +
+    pyarrow) if it doesn't exist yet — same rows (page_row is the
+    single source of truth), microsecond timestamps to match the
+    Spark writer. Lets oracle_sql() guarantee the DuckDB side can read
+    the table even if the driver evaluates an oracle before running
+    the corresponding Spark query."""
+    import os
+
+    path = pages_parquet_path(n, seed)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = synth_pages_pdf(n, seed)
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(path, "part-local.parquet"),
+        )
+        with open(marker, "w"):
+            pass
+    return path
+
+
 def pages_scale_for_sf(sf_dir: str) -> int:
     """Page count matched to the driver scale factor (FIXTURES.md §1)."""
     if "0.001" in sf_dir:
