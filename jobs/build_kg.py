@@ -66,6 +66,33 @@ def main(argv: list[str] | None = None) -> int:
     if not pages_path:
         ap.error("--input or --synth required")
 
+    # Resume safety: the stage ledger is keyed by stage name only, so
+    # committed stages from a PREVIOUS input would be skipped even
+    # though their outputs reflect the old input. Record the input
+    # path and refuse a mismatched resume (fail loudly; a silently
+    # stale KG with exit code 0 is the worst outcome).
+    import os as _os
+
+    marker = _os.path.join(args.output, "_input_path")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != pages_path:
+            print(
+                f"ERROR: output dir {args.output} holds committed "
+                f"stages for input '{prev}', but this run reads "
+                f"'{pages_path}'. Use a fresh --output (or delete the "
+                "old one) — resuming would keep stages built from the "
+                "previous input.",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+    else:
+        _os.makedirs(args.output, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(pages_path)
+
     runner = build_kg_pipeline(
         spark,
         pages_path,

@@ -60,14 +60,20 @@ def per_partition_counts(spark: SparkSession, stage_path: str) -> DataFrame:
             + glob.glob(os.path.join(stage_path, "*", "*.parquet"))
         )
         if files:
+            counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+            # skip empty part files: the scan fallback (input_file_name
+            # groupBy) never sees them, so both paths report the same
+            # partition set
             rows = [
-                (i, pq.ParquetFile(f).metadata.num_rows)
-                for i, f in enumerate(files)
+                (i, c)
+                for i, c in enumerate(c for c in counts if c > 0)
             ]
             return spark.createDataFrame(
-                rows, "partition_id int, rows_out bigint"
+                rows or [(0, 0)], "partition_id int, rows_out bigint"
             )
-    except (ImportError, OSError):
+    except (ImportError, OSError, ValueError):
+        # ValueError covers pyarrow.lib.ArrowInvalid (corrupt footer) —
+        # fall through to the authoritative data scan
         pass
     df = spark.read.parquet(stage_path)
     by_file = (

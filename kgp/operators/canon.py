@@ -50,13 +50,16 @@ def _cc_local(e: DataFrame) -> DataFrame:
         return r
 
     for row in e.collect():
+        # register both endpoints (a self-loop node must appear in the
+        # output labeled as itself, as the distributed loop does)
+        parent.setdefault(row["a"], row["a"])
+        parent.setdefault(row["b"], row["b"])
         a, b = find(row["a"]), find(row["b"])
         if a != b:
             # min-label union ⇒ every root is its component's min id
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    nodes = set(parent) | {v for v in parent.values()}
-    rows = [(n, find(n)) for n in sorted(nodes)]
+    rows = [(n, find(n)) for n in sorted(parent)]
     return e.sparkSession.createDataFrame(
         rows, "node string, component string"
     )

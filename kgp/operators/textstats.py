@@ -70,16 +70,23 @@ def quality_features(
     stop_hits = F.size(
         F.filter(toks, lambda x: F.lower(x).isin(*ENGLISH_STOPWORDS))
     ).cast("long")
-    sum_tok_len = n_chars - n_toks + 1
+    # ratios via the SQL `div` operator — TRUE integer division, same
+    # value as DuckDB's `//`. (double division + cast can round up
+    # across an integer boundary at scale; see CLAUDE.md hard rules)
     return docs.select(
         id_col,
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
         stop_hits.alias("stop_hits"),
-        (sum_tok_len * 10000 / n_toks).cast("long").alias(
+    ).select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "stop_hits",
+        F.expr("(n_chars - n_tokens + 1) * 10000 div n_tokens").alias(
             "mean_token_len_e4"
         ),
-        (stop_hits * 10000 / n_toks).cast("long").alias(
+        F.expr("stop_hits * 10000 div n_tokens").alias(
             "stopword_ratio_e4"
         ),
     )
@@ -97,14 +104,10 @@ def quality_score(
     f = quality_features(docs, id_col, text_col)
     return f.select(
         id_col,
-        (
-            100 * F.least(F.col("n_tokens"), F.lit(50))
-            + (5 * F.least(F.col("stopword_ratio_e4"), F.lit(2000)))
-            .cast("long")
-            / 2
-        )
-        .cast("long")
-        .alias("quality_e4"),
+        F.expr(
+            "100 * least(n_tokens, 50)"
+            " + (5 * least(stopword_ratio_e4, 2000)) div 2"
+        ).alias("quality_e4"),
     )
 
 

@@ -33,6 +33,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None, int]] = {}
 # rows-only (no SQL oracle — weakest signal, always last).
 ROWS_ONLY_TIER = 9
 
+# the scale the driver compares Spark vs DuckDB at — the single
+# source of truth for every oracle that pins a materialized input
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def register(name: str, sql: str | None, tier: int = 2):
     def deco(fn: QueryFn) -> QueryFn:
@@ -68,7 +72,7 @@ def oracle_sql() -> dict[str, str]:
     # Spark twin has run (local pyarrow write, same page_row rows)
     from kgp.synth import ensure_pages_parquet_local, pages_scale_for_sf
 
-    ensure_pages_parquet_local(pages_scale_for_sf("/root/testdata/sf0.01"))
+    ensure_pages_parquet_local(pages_scale_for_sf(ORACLE_SF_DIR))
     return {k: v[1] for k, v in _ordered() if v[1] is not None}
 
 

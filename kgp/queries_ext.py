@@ -48,33 +48,9 @@ sh AS (SELECT doc_id,
        FROM wt)
 """
 
-# i-th 8-hex-char chunk of sha256(e)||md5(e) — mirrors
-# kgp.operators.linking.minhash_signature's 2-digest chunked family
-_SIG_COLS = ", ".join(
-    f"min(substr(d, {i * 8 + 1}, 8)) AS h{i}" for i in range(MINHASH_K)
-)
-
-
-def _band_key_sql(b: int) -> str:
-    cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-    return "md5(" + " || '|' || ".join(cols) + ")"
-
-
-_BAND_SELECTS = "\nUNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig"
-    for b in range(LSH_BANDS)
-)
-
-_MINHASH_CTE = f"""
-{_SHINGLE_CTE},
-ex AS (SELECT doc_id, sha256(unnest(sh)) || md5(unnest(sh)) AS d FROM sh),
-sig AS (SELECT doc_id, {_SIG_COLS} FROM ex GROUP BY doc_id),
-bands AS ({_BAND_SELECTS}),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          AND a.doc_id < b.doc_id)
-"""
+# the MinHash-LSH pair SQL (signature chunks, band keys, candidate
+# join, Jaccard verification) lives in kgp.sqlgen.minhash_pairs_sql —
+# shared with the pages twin so the family can't silently diverge
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -154,20 +130,14 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_dup_groups(docs)
 
 
+from kgp.sqlgen import minhash_pairs_sql
+
+
 @register(
     "dedup_minhash_lsh_pairs",
-    f"""
-WITH {_MINHASH_CTE}
-SELECT * FROM (
-  SELECT c.id_a, c.id_b,
-         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-           AS jaccard
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b
-) WHERE jaccard >= 0.5
-""",
+    minhash_pairs_sql(
+        "SELECT doc_id AS id, text FROM documents", threshold=0.5
+    ),
 )
 def q_dedup_minhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

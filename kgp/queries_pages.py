@@ -35,7 +35,9 @@ from kgp.synth import (
 # ---------------------------------------------------------------------------
 
 # the driver compares at sf0.01 → 5000 pages; oracle SQL pins that scale
-_ORACLE_N = pages_scale_for_sf("/root/testdata/sf0.01")
+from kgp.queries import ORACLE_SF_DIR
+
+_ORACLE_N = pages_scale_for_sf(ORACLE_SF_DIR)
 
 _PAGES_CTE = (
     "pages AS (SELECT * FROM "
@@ -375,50 +377,18 @@ def q_pages_canonical(spark, sf_dir):
 # X3/X4 — fuzzy dedup over extracted page text
 # ---------------------------------------------------------------------------
 
-def _minhash_pages_sql(threshold: float) -> str:
-    from kgp.operators.linking import LSH_BANDS, LSH_ROWS, MINHASH_K
-
-    sig_cols = ", ".join(
-        f"min(substr(d, {i * 8 + 1}, 8)) AS h{i}" for i in range(MINHASH_K)
-    )
-
-    def band_key(b: int) -> str:
-        cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        return "md5(" + " || '|' || ".join(cols) + ")"
-
-    band_selects = "\nUNION ALL ".join(
-        f"SELECT url, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
-        for b in range(LSH_BANDS)
-    )
-    return f"""
-WITH {_PAGES_CTE},
-wt AS (SELECT url, string_split(' ' || text, ' ') AS w FROM pages),
-sh AS (SELECT url,
-         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  FOR i IN range(1, len(w) - 1)])
-         END AS sh
-       FROM wt),
-ex AS (SELECT url, sha256(unnest(sh)) || md5(unnest(sh)) AS d FROM sh),
-sig AS (SELECT url, {sig_cols} FROM ex GROUP BY url),
-bands AS ({band_selects}),
-cand AS (SELECT DISTINCT a.url AS id_a, b.url AS id_b
-         FROM bands a JOIN bands b
-           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          AND a.url < b.url)
-SELECT * FROM (
-  SELECT c.id_a, c.id_b,
-         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-           AS jaccard
-  FROM cand c
-  JOIN sh sa ON sa.url = c.id_a
-  JOIN sh sb ON sb.url = c.id_b
-) WHERE jaccard >= {threshold}
-"""
+from kgp.sqlgen import minhash_pairs_sql
 
 
-@register("pages_near_dup_pairs", _minhash_pages_sql(0.5), tier=1)
+@register(
+    "pages_near_dup_pairs",
+    minhash_pairs_sql(
+        "SELECT url AS id, ' ' || text AS text FROM pages",
+        threshold=0.5,
+        prefix=f"{_PAGES_CTE},",
+    ),
+    tier=1,
+)
 def q_pages_near_dups(spark, sf_dir):
     """X3/X4 — MinHash-LSH fuzzy dedup over extracted page text. The
     synthetic corpus plants real near-duplicates (every 37th page is a
@@ -565,13 +535,10 @@ def q_pages_corpus_stats(spark, sf_dir):
         "total_pages",
         "total_segments",
         "total_entities",
-        (
-            (F.col("total_segments") * 10000)
-            .cast("long")
-            / F.col("total_pages")
-        )
-        .cast("long")
-        .alias("avg_segments_per_page_e4"),
+        # SQL `div` = true integer division, exactly DuckDB's `//`
+        F.expr("total_segments * 10000 div total_pages").alias(
+            "avg_segments_per_page_e4"
+        ),
     )
 
 

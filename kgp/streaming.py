@@ -99,11 +99,18 @@ def start_kg_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_triples = triples_for_batch(batch_df)
         # subj = 'page:' || url, so the batch's (subj → date) map is a
-        # tiny broadcast; dates per micro-batch are a handful.
-        url_dates = batch_df.select(
-            F.concat(F.lit("page:"), F.col("url")).alias("subj"),
-            F.to_date("warc_ts").alias("ingest_date"),
-        ).distinct()
+        # tiny broadcast; dates per micro-batch are a handful. ONE
+        # date per subj (min) — a url crawled twice with different
+        # warc_ts days inside one micro-batch must not fan its
+        # (distinct) triples out to two rows.
+        url_dates = (
+            batch_df.select(
+                F.concat(F.lit("page:"), F.col("url")).alias("subj"),
+                F.to_date("warc_ts").alias("ingest_date"),
+            )
+            .groupBy("subj")
+            .agg(F.min("ingest_date").alias("ingest_date"))
+        )
         new_triples = new_triples.join(F.broadcast(url_dates), "subj")
         batch_dates = [
             r["ingest_date"]

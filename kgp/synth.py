@@ -152,8 +152,18 @@ def materialize_pages(
 
     path = pages_parquet_path(n, seed)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        synth_pages(spark, n, seed).write.mode("overwrite").parquet(path)
+        # deterministic layout: partition count depends only on n, not
+        # on the creating session's core count — otherwise whichever
+        # config first fills the cache freezes the input parallelism
+        # every later benchmark sees
+        synth_pages(
+            spark, n, seed, partitions=_layout_partitions(n)
+        ).write.mode("overwrite").parquet(path)
     return path
+
+
+def _layout_partitions(n: int) -> int:
+    return max(1, min(64, n // 250))
 
 
 def ensure_pages_parquet_local(n: int, seed: int = SYNTH_SEED) -> str:
@@ -168,9 +178,16 @@ def ensure_pages_parquet_local(n: int, seed: int = SYNTH_SEED) -> str:
     path = pages_parquet_path(n, seed)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        import shutil
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # a dir without _SUCCESS is a crashed/partial write — clear it
+        # so stale part files don't sit beside the fresh one under the
+        # new marker (both engines glob *.parquet)
+        if os.path.exists(path):
+            shutil.rmtree(path)
         pdf = synth_pages_pdf(n, seed)
         pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
         os.makedirs(path, exist_ok=True)
