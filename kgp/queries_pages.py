@@ -624,10 +624,39 @@ def q_pages_lang(spark, sf_dir):
 def q_pages_embeddings(spark, sf_dir):
     """F9 — deterministic mock embeddings over extracted page text
     (md5-seeded deviation from the reference's process-randomized
-    hash(); SURVEY §2 F9)."""
+    hash(); SURVEY §2 F9). The registry row emits a scalar digest +
+    norm per vector, not the raw ARRAY column — the driver's value
+    canonicalizer cannot sort list cells (round-1 lesson); the
+    array-valued operator itself is tested in test_catalog_embed.py."""
     from kgp.operators.embed import with_embedding
 
     docs = extract_docs(_pages(spark, sf_dir))
-    return with_embedding(
+    emb = with_embedding(
         docs.select("url", "extracted_text"), text_col="extracted_text"
-    ).select("url", "embedding")
+    )
+    vec = F.col("embedding")
+    return emb.select(
+        "url",
+        F.size(vec).alias("dim"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    vec,
+                    lambda x: F.floor(x.cast("double") * 1000000).cast(
+                        "long"
+                    ).cast("string"),
+                ),
+                ",",
+            )
+        ).alias("embedding_md5"),
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    vec,
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            )
+            * 10000
+        ).cast("long").alias("l2_norm_e4"),
+    )
