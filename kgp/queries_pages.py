@@ -122,6 +122,21 @@ ents AS (
 
 def _pages(spark, sf_dir):
     n = pages_scale_for_sf(sf_dir)
+    # Every pages_* oracle twin pins the DuckDB side at _ORACLE_N
+    # (rendered once at import). If the driver ever compares at a
+    # different scale the whole flagship block would mismatch at once —
+    # fail loudly HERE with the cause instead of letting the gate
+    # report 12 inscrutable hash failures. Non-gate users (bench,
+    # scaling) call the pipeline operators directly, not these
+    # registry fns, so the guard only fires in compare contexts.
+    if n != _ORACLE_N:
+        raise RuntimeError(
+            f"pages oracle SQL is rendered for n={_ORACLE_N} "
+            f"(ORACLE_SF_DIR={ORACLE_SF_DIR!r}) but this query was "
+            f"invoked with sf_dir={sf_dir!r} -> n={n}. The DuckDB twins "
+            "are scale-pinned; re-render kgp.queries_pages with "
+            "ORACLE_SF_DIR set to the driver's compare scale."
+        )
     return spark.read.parquet(materialize_pages(spark, n))
 
 
@@ -337,7 +352,13 @@ def q_pages_linked(spark, sf_dir):
         [(s, c) for s, _, c in ALIAS_DICT],
         "surface string, canonical_id string",
     )
-    return link_mentions(cap_mentions(m), alias)
+    # link_mentions is a LEFT join (unmatched surfaces keep NULL for
+    # the LSH path); the oracle INNER-joins the alias dict. Filter the
+    # NULLs so the twins match structurally, not by the data
+    # coincidence that every gazetteer surface currently has an alias.
+    return link_mentions(cap_mentions(m), alias).filter(
+        F.col("canonical_id").isNotNull()
+    )
 
 
 @register(

@@ -91,9 +91,9 @@ def start_kg_stream(
     batch's date window, not by the cumulative sink size — at a 100 TB
     sink the old whole-sink anti-join re-scanned everything every
     micro-batch. Tradeoff (documented): dedup is scoped per ingest
-    date; a url re-crawled on a LATER date appends fresh rows (an
-    upsert compaction job owns cross-date reconciliation), while crash
-    replays — same batch, same dates — still insert nothing.
+    date; a url re-crawled on a LATER date appends fresh rows —
+    `compact_triples_sink` below owns cross-date reconciliation —
+    while crash replays (same batch, same dates) still insert nothing.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -135,6 +135,54 @@ def start_kg_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
+    """S6 upsert compaction: restore the global (subj, pred, obj) key
+    invariant that the per-date streaming dedup relaxes.
+
+    A url re-crawled on a LATER ingest date appends duplicate triples
+    (start_kg_stream dedups only inside the batch's date window — the
+    price of a partition-pruned anti-join). This job is the
+    reconciliation half of that tradeoff: keep the MIN ingest_date per
+    (subj, pred, obj) and rewrite the sink. Returns rows removed.
+
+    Physical shape: one shuffle (groupBy the edge key, map-side partial
+    min), written partitioned by ingest_date into a tmp sibling, then
+    an atomic directory swap — readers never see a half-compacted sink.
+    At 100 TB this runs scoped: join the recent ingest window's keys
+    against the sink first so only partitions holding an affected key
+    are rewritten (Iceberg's MERGE + rewrite_data_files is the managed
+    analog); the full rewrite below is the correct small-scale form of
+    the same plan.
+    """
+    import os
+    import shutil
+
+    sink = _read_sink(spark, out_dir)
+    if sink is None:
+        return 0
+    before = sink.count()
+    compacted = (
+        sink.groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("ingest_date").alias("ingest_date"),
+            # edge_id is a pure function of (subj, obj): identical
+            # across duplicates, min() just picks the constant
+            F.min("edge_id").alias("edge_id"),
+        )
+        .select("subj", "pred", "obj", "edge_id", "ingest_date")
+    )
+    tmp = f"{out_dir}.compact-{os.getpid()}"
+    compacted.write.mode("overwrite").partitionBy("ingest_date").parquet(
+        tmp
+    )
+    after = spark.read.parquet(tmp).count()
+    bak = f"{out_dir}.pre-compact-{os.getpid()}"
+    os.rename(out_dir, bak)
+    os.rename(tmp, out_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+    return before - after
 
 
 def stateful_running_counts(events_stream: DataFrame) -> DataFrame:

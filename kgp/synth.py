@@ -135,6 +135,25 @@ def pages_parquet_path(n: int, seed: int = SYNTH_SEED) -> str:
     return f"{_PAGES_CACHE_DIR}/{PAGES_SYNTH_VERSION}_n{n}_seed{seed}"
 
 
+def _publish_atomic(tmp: str, path: str) -> None:
+    """Atomically promote a fully-written tmp dir to the cache path.
+
+    os.rename of a directory is atomic on one filesystem, so readers
+    either see no cache dir or a complete one with _SUCCESS — never a
+    half-written glob. If a concurrent writer won the race (dest now
+    exists), keep the winner and discard our tmp."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
 def materialize_pages(
     spark: SparkSession, n: int, seed: int = SYNTH_SEED
 ) -> str:
@@ -149,16 +168,30 @@ def materialize_pages(
     Iceberg pages table that every downstream query shares.
     """
     import os
+    import shutil
 
     path = pages_parquet_path(n, seed)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # write to a pid-keyed tmp sibling, then atomic-rename into
+        # place: a concurrent bench/driver pair can never glob a
+        # half-written directory or delete each other's in-flight write
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         # deterministic layout: partition count depends only on n, not
         # on the creating session's core count — otherwise whichever
         # config first fills the cache freezes the input parallelism
         # every later benchmark sees
         synth_pages(
             spark, n, seed, partitions=_layout_partitions(n)
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(tmp)
+        # a legacy dest without _SUCCESS (pre-atomic crash) blocks the
+        # rename — clear it first; post-atomic, dest either has
+        # _SUCCESS (another writer won) or doesn't exist
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+        _publish_atomic(tmp, path)
     return path
 
 
@@ -183,20 +216,24 @@ def ensure_pages_parquet_local(n: int, seed: int = SYNTH_SEED) -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        # a dir without _SUCCESS is a crashed/partial write — clear it
-        # so stale part files don't sit beside the fresh one under the
-        # new marker (both engines glob *.parquet)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        # build the complete dir (part + _SUCCESS) in a tmp sibling,
+        # then atomic-rename into place — a concurrent writer can never
+        # observe a partial glob or clobber an in-flight write
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         pdf = synth_pages_pdf(n, seed)
         pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(path, "part-local.parquet"),
+            os.path.join(tmp, "part-local.parquet"),
         )
-        with open(marker, "w"):
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
+        # a legacy dest without _SUCCESS is a crashed pre-atomic write
+        if os.path.exists(path) and not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+        _publish_atomic(tmp, path)
     return path
 
 

@@ -177,3 +177,53 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_compact_triples_sink_restores_global_key_invariant(
+    spark, tmp_path
+):
+    """A url re-crawled on a later ingest date appends duplicate
+    (subj, pred, obj) rows (documented streaming tradeoff); compaction
+    keeps the min-ingest_date winner and rewrites atomically."""
+    import datetime
+
+    from kgp.streaming import compact_triples_sink
+
+    out_dir = str(tmp_path / "sink")
+    d1 = datetime.date(2024, 3, 1)
+    d2 = datetime.date(2024, 5, 9)
+    rows = [
+        ("page:u1", "contains_entity", "entity:x",
+         "edge:page:u1:entity:x:contains_entity", d1),
+        # same edge re-crawled later — the duplicate compaction removes
+        ("page:u1", "contains_entity", "entity:x",
+         "edge:page:u1:entity:x:contains_entity", d2),
+        ("page:u2", "contains_entity", "entity:y",
+         "edge:page:u2:entity:y:contains_entity", d2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, edge_id string, "
+        "ingest_date date",
+    )
+    df.write.mode("append").partitionBy("ingest_date").parquet(out_dir)
+
+    removed = compact_triples_sink(spark, out_dir)
+    assert removed == 1
+
+    sink = spark.read.parquet(out_dir)
+    got = {
+        (r["subj"], r["obj"]): r["ingest_date"] for r in sink.collect()
+    }
+    assert got == {("page:u1", "entity:x"): d1, ("page:u2", "entity:y"): d2}
+    # still date-partitioned (pruned reads keep working post-compact)
+    import os
+
+    parts = [
+        d for d in os.listdir(out_dir) if d.startswith("ingest_date=")
+    ]
+    assert parts and "ingest_date=2024-03-01" in parts
+    # idempotent: compacting a clean sink removes nothing
+    assert compact_triples_sink(spark, out_dir) == 0
+    # empty/missing sink is a no-op
+    assert compact_triples_sink(spark, str(tmp_path / "nope")) == 0
