@@ -144,15 +144,136 @@ def stage_committed(spark: SparkSession, out_dir: str, stage: str) -> bool:
 
 def run_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """A5 — ledger statistics (task_tracker.py:140-156): counts by
-    (stage, status)."""
+    (stage, status). rows_out coalesces to 0 for all-NULL groups
+    (failed/skipped partitions record no counts)."""
     return (
         read_lineage(spark, out_dir)
         .groupBy("stage", "status")
         .agg(
             F.count(F.lit(1)).alias("n_partitions"),
-            F.sum("rows_out").alias("rows_out"),
+            F.coalesce(F.sum("rows_out"), F.lit(0)).alias("rows_out"),
         )
     )
+
+
+def run_success_rates(spark: SparkSession, out_dir: str) -> DataFrame:
+    """A5 — per-run success rate (task_tracker.py:150-156
+    ``success_rate = completed / total * 100``), as the exact integer
+    ×10⁴ fraction (floor) so both engines agree without float division:
+    (run_id, n_total, n_committed, success_rate_e4)."""
+    return (
+        read_lineage(spark, out_dir)
+        .groupBy("run_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("status") == STATUS_COMMITTED, 1).otherwise(0)
+            ).alias("n_committed"),
+        )
+        .select(
+            "run_id",
+            "n_total",
+            "n_committed",
+            F.expr("n_committed * 10000 div n_total").alias(
+                "success_rate_e4"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic ledger fixture (driver gate for A5 — both engines read
+# the same local parquet, like kgp.synth.materialize_pages for pages)
+# ---------------------------------------------------------------------------
+
+LINEAGE_FIXTURE_VERSION = "v1"
+_LINEAGE_FIXTURE_DIR = "/tmp/kgp_lineage"
+
+# (run_id, stage, n_partitions, status, rows_base) — rows_out for
+# partition p is rows_base + 37 * p; failed/skipped partitions record
+# NULL rows_out (the writer never counted them). Two runs: a clean one
+# and a crashed-then-resumed one, mirroring the resume ledger shapes
+# jobs/build_kg.py produces.
+_FIXTURE_SPEC = [
+    ("run-a", "ingest", 4, STATUS_COMMITTED, 1000),
+    ("run-a", "segment", 4, STATUS_COMMITTED, 2500),
+    ("run-a", "triples", 4, STATUS_COMMITTED, 900),
+    ("run-a", "entities", 1, STATUS_COMMITTED, 38),
+    ("run-b", "ingest", 4, STATUS_COMMITTED, 1000),
+    ("run-b", "segment", 2, STATUS_FAILED, None),
+    ("run-b", "triples", 4, STATUS_SKIPPED, None),
+]
+
+
+def lineage_fixture_path(version: str = LINEAGE_FIXTURE_VERSION) -> str:
+    return f"{_LINEAGE_FIXTURE_DIR}/{version}"
+
+
+def ensure_lineage_fixture_local(
+    version: str = LINEAGE_FIXTURE_VERSION,
+) -> str:
+    """Materialize the pinned lineage ledger once (pyarrow, no Spark):
+    <path>/_lineage/*.parquet, published atomically. Returns the
+    out_dir whose _lineage subdir read_lineage/run_stats consume."""
+    import os
+
+    from datetime import datetime, timezone
+
+    out_dir = lineage_fixture_path(version)
+    ledger = lineage_dir(out_dir)
+    marker = os.path.join(ledger, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgp.synth import _publish_atomic
+
+        t0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc).replace(
+            tzinfo=None
+        )
+        rows = []
+        for run_id, stage, n_parts, status, base in _FIXTURE_SPEC:
+            for p in range(n_parts):
+                rows.append(
+                    {
+                        "run_id": run_id,
+                        "stage": stage,
+                        "partition_id": p,
+                        "rows_out": (
+                            base + 37 * p if base is not None else None
+                        ),
+                        "status": status,
+                        "started_at": t0,
+                        "finished_at": t0,
+                        "error": (
+                            "executor lost: exit 137"
+                            if status == STATUS_FAILED
+                            else None
+                        ),
+                    }
+                )
+        pdf = pd.DataFrame(rows)
+        pdf["partition_id"] = pdf["partition_id"].astype("int32")
+        pdf["rows_out"] = pdf["rows_out"].astype("Int64")
+        pdf["started_at"] = pdf["started_at"].astype("datetime64[us]")
+        pdf["finished_at"] = pdf["finished_at"].astype("datetime64[us]")
+        tmp = f"{ledger}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp, "part-local.parquet"),
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        if os.path.exists(ledger) and not os.path.exists(marker):
+            shutil.rmtree(ledger, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        _publish_atomic(tmp, ledger)
+    return out_dir
 
 
 def now_s() -> float:

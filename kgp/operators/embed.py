@@ -60,6 +60,73 @@ def with_embedding(
     return df.withColumn(out_col, mock_embedding_udf(dim)(F.col(text_col)))
 
 
+# ---------------------------------------------------------------------------
+# F9 driver-gate fixture: the SAME numpy generator run locally over the
+# materialized pages parquet, so a DuckDB oracle can read identical
+# float32 bits (materialize-once pattern, as kgp.synth.materialize_pages)
+# ---------------------------------------------------------------------------
+
+EMB_FIXTURE_VERSION = "v1"
+_EMB_CACHE_DIR = "/tmp/kgp_embeddings"
+
+
+def embeddings_parquet_path(n: int, dim: int = DEFAULT_DIM) -> str:
+    from kgp.synth import PAGES_SYNTH_VERSION
+
+    return (
+        f"{_EMB_CACHE_DIR}/{EMB_FIXTURE_VERSION}_"
+        f"{PAGES_SYNTH_VERSION}_n{n}_d{dim}"
+    )
+
+
+def ensure_embeddings_parquet_local(
+    n: int, dim: int = DEFAULT_DIM
+) -> str:
+    """Materialize (url, embedding ARRAY<FLOAT>) once per (fixture
+    version, pages version, n, dim) — pandas + pyarrow, no Spark.
+
+    Inputs are the materialized pages parquet's text with the S4
+    leading-space rule applied (extracted_text = ' ' + text, the exact
+    strings the Spark pipeline embeds), run through the SAME
+    _embed_series the pandas UDF uses — so the distributed UDF output
+    and this fixture agree bit-for-bit and the driver's DuckDB side can
+    hash the identical float32 payloads."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgp.synth import _publish_atomic, ensure_pages_parquet_local
+
+    path = embeddings_parquet_path(n, dim)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pages = pq.read_table(
+            ensure_pages_parquet_local(n), columns=["url", "text"]
+        ).to_pandas()
+        texts = (" " + pages["text"]).astype(str)
+        vecs = _embed_series(texts, dim)
+        tbl = pa.table(
+            {
+                "url": pa.array(pages["url"], pa.string()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp, "part-local.parquet"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        if os.path.exists(path) and not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+        _publish_atomic(tmp, path)
+    return path
+
+
 def l2_normalize(vec: Column) -> Column:
     """JVM-side L2 normalization of ARRAY<FLOAT> (pre-compute for
     cosine-as-dot at query time — the standard ANN layout trick)."""

