@@ -117,11 +117,37 @@ def topk_lsh(
     )
 
 
+# keyed memo for collected centroid matrices: repeated probes against
+# the same (small) centroid table must not pay a driver collect per
+# call (VERDICT r2 item 8). Callers opt in with a stable key — e.g.
+# an index build version — because DataFrames aren't hashable.
+_CENTROID_CACHE: dict[str, tuple] = {}
+
+
+def collect_centroid_matrix(
+    cents: DataFrame, cache_key: str | None = None
+):
+    """(cids int64[c], Cn float64[c,d] row-normalized) from the
+    centroid DataFrame — collected once per cache_key."""
+    import numpy as np
+
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["_cv"] for r in rows], dtype=np.float64)
+    mat = (cids, C / np.linalg.norm(C, axis=1, keepdims=True))
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = mat
+    return mat
+
+
 def _assign_centroids_gemm(
     embeddings: DataFrame,
     cents: DataFrame,
     id_col: str,
     vec_col: str,
+    cent_mat: tuple | None = None,
 ) -> DataFrame:
     """Production IVF assignment: one numpy GEMM per Arrow batch
     against the broadcast centroid matrix — (id, vec, cid) with zero
@@ -135,10 +161,11 @@ def _assign_centroids_gemm(
     import numpy as np
     import pandas as pd
 
-    rows = sorted(cents.collect(), key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    C = np.array([r["_cv"] for r in rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids, Cn = (
+        cent_mat
+        if cent_mat is not None
+        else collect_centroid_matrix(cents)
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -168,6 +195,7 @@ def topk_ivf(
     centroid_every: int = 50,
     nprobe: int = 2,
     assign: str = "exact",
+    centroid_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors to their nearest centroid, then
     search only the query's `nprobe` nearest inverted lists.
@@ -197,7 +225,11 @@ def topk_ivf(
 
     if assign == "gemm":
         assigned = _assign_centroids_gemm(
-            embeddings, cents, id_col, vec_col
+            embeddings,
+            cents,
+            id_col,
+            vec_col,
+            cent_mat=collect_centroid_matrix(cents, centroid_cache_key),
         )
     else:
         # exact assignment (driver-gated twin): argmax centroid per

@@ -37,12 +37,37 @@ from kgp.constants import (
 
 
 def normalize_entity_id(surface: Column) -> Column:
-    """F2 (gremlin_client.py:116). ASCII-safe for our gazetteers; for
-    full-Unicode parity with Python str.lower a pandas UDF would be
-    swapped in (documented deviation, SURVEY §2 F2)."""
+    """F2 (gremlin_client.py:116). JVM path (codegen, zero Python) —
+    the default for the pinned ASCII gazetteers. F.lower is not
+    byte-identical to Python str.lower on every Unicode surface
+    (e.g. 'İstanbul': Python lowers to 'i' + COMBINING DOT ABOVE);
+    swap in normalize_entity_id_py for full parity with the
+    reference's ``entity.lower().replace(' ', '_')`` (documented
+    deviation, SURVEY §2 F2; parity proven in test_ner_triples.py)."""
     return F.concat(
         F.lit("entity:"), F.regexp_replace(F.lower(surface), " ", "_")
     )
+
+
+def normalize_entity_id_py(surface: Column) -> Column:
+    """F2, full-Unicode parity path: Arrow-batched pandas UDF running
+    the reference's exact Python ``'entity:' + s.lower().replace(' ',
+    '_')`` (gremlin_client.py:116) — pandas Series.str.lower IS
+    CPython str.lower element-wise. Use when the gazetteer carries
+    non-ASCII surfaces; ~10-100× slower than the JVM path but still
+    Arrow-vectorized, never row-at-a-time."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return "entity:" + s.fillna("").str.lower().str.replace(
+            " ", "_", regex=False
+        )
+
+    # explicit functionType: the local-import pd.Series hint can't be
+    # resolved by pyspark's signature inspection
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm, "string")(surface)
 
 
 def cap_mentions(mentions: DataFrame, doc_col: str = "url") -> DataFrame:

@@ -160,3 +160,61 @@ def test_ivf_gemm_assignment_matches_exact(spark):
     assert exact and gemm
     overlap = len(exact & gemm) / len(exact)
     assert overlap >= 0.9, overlap
+
+
+def test_ivf_centroid_cache_skips_recollect(spark):
+    """centroid_cache_key memoizes the collected centroid matrix: the
+    second probe with the same key must not hit the driver again, and
+    cached results stay identical to uncached ones."""
+    from kgp.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.limit(3)
+    key = "test-ivf-cache-v1"
+    S._CENTROID_CACHE.pop(key, None)
+
+    uncached = sorted(
+        map(tuple, S.topk_ivf(emb, q, k=5, assign="gemm").collect())
+    )
+    first = sorted(
+        map(
+            tuple,
+            S.topk_ivf(
+                emb, q, k=5, assign="gemm", centroid_cache_key=key
+            ).collect(),
+        )
+    )
+    assert key in S._CENTROID_CACHE
+    cached_mat = S._CENTROID_CACHE[key]
+
+    # poison collect: a re-collect would now blow up
+    import pytest
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError("centroids re-collected despite cache")
+
+    orig = S.collect_centroid_matrix
+
+    def guarded(cents, cache_key=None):
+        assert cache_key == key
+        assert cache_key in S._CENTROID_CACHE
+        return S._CENTROID_CACHE[cache_key]
+
+    S.collect_centroid_matrix = guarded
+    try:
+        second = sorted(
+            map(
+                tuple,
+                S.topk_ivf(
+                    emb, q, k=5, assign="gemm", centroid_cache_key=key
+                ).collect(),
+            )
+        )
+    finally:
+        S.collect_centroid_matrix = orig
+        S._CENTROID_CACHE.pop(key, None)
+    assert uncached == first == second
+    assert cached_mat[0].shape[0] > 0

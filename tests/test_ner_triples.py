@@ -100,3 +100,42 @@ def test_edge_ids_match_reference_format(spark):
     )
     r = triples_df.first()
     assert r["edge_id"] == f"edge:{r['subj']}:{r['obj']}:contains_entity"
+
+
+def test_normalize_entity_id_py_full_unicode_parity(spark):
+    """F2 parity option: the pandas-UDF path must equal the
+    reference's Python `entity.lower().replace(' ', '_')` on surfaces
+    where JVM lower() and CPython str.lower() disagree."""
+    from kgp.operators.triples import (
+        normalize_entity_id,
+        normalize_entity_id_py,
+    )
+
+    surfaces = [
+        "İstanbul Technical University",   # dotted capital I (Turkish)
+        "STRASSE",                         # no ß expansion either way
+        "ĲSSELMEER",                       # ligature lowers to ĳ
+        "Σίσυφος ΑΣ",                      # final-sigma contextual rule
+        "Crème Brûlée Labs",
+        "Acme Corp",                       # plain ASCII control
+        "",                                # empty-string edge
+    ]
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"surface": surfaces})
+    ).withColumn("eid_py", normalize_entity_id_py(F.col("surface")))
+    got = {r["surface"]: r["eid_py"] for r in df.collect()}
+    want = {
+        s: "entity:" + s.lower().replace(" ", "_") for s in surfaces
+    }
+    assert got == want
+    # and the JVM default stays byte-identical on ASCII gazetteers
+    ascii_df = spark.createDataFrame(
+        pd.DataFrame({"surface": ["Acme Corp", "Pied Piper"]})
+    ).select(
+        normalize_entity_id(F.col("surface")).alias("a"),
+        normalize_entity_id_py(F.col("surface")).alias("b"),
+    )
+    assert ascii_df.filter(F.col("a") != F.col("b")).count() == 0
