@@ -162,6 +162,18 @@ def near_dup_pairs_minhash(
     family='fast' (xxhash64) for the production hot path — see
     kgp.operators.linking.minhash_signature.
     """
+    # Widen a narrow input BEFORE shingling: a single small parquet
+    # file scans as 1-4 partitions, which serializes the per-shingle
+    # digest map stage onto as many cores (measured 2.7 s → 1.5 s at
+    # sf0.1/local[32]). Shuffling the raw (id, text) rows is cheap;
+    # repartitioning AFTER shingling would shuffle the exploded
+    # shingle arrays instead (measured slower than not widening at
+    # all). At real scale the input already has ≥ cores partitions and
+    # this is a no-op. doc ids are high-cardinality (CLAUDE.md rule:
+    # never repartition on a low-cardinality bucket expression).
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want, id_col)
     sets_df = docs.select(
         id_col, shingles_col(F.col(text_col)).alias("shingles")
     )

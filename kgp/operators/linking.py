@@ -219,13 +219,27 @@ def lsh_bands(
              F.col("b.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, materialize: bool = True
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any (band_idx, band_key).
 
     Self-equi-join on the band key — shuffles once on (band_idx,
     band_key); AQE splits hot buckets. distinct() collapses pairs found
     in multiple bands before any downstream scoring.
+
+    materialize=True (default) eagerly localCheckpoints the bands
+    table first: the two join sides rename the id column differently,
+    so their exchanges never canonicalize equal and Spark recomputes
+    the ENTIRE upstream digest pipeline (sha256+md5 per shingle) for
+    both sides — measured 1.8 s of the 5.3 s sf0.1 warm time. The
+    bands table is tiny (bands × ~50 B per doc), so materializing it
+    once is the right trade at any scale; on clusters with dynamic
+    allocation swap localCheckpoint for a reliable checkpoint dir
+    (executor loss discards localCheckpoint blocks).
     """
+    if materialize:
+        bands_df = bands_df.localCheckpoint(eager=True)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
