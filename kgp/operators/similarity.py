@@ -186,6 +186,87 @@ def _assign_centroids_gemm(
     )
 
 
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    k_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd's k-means → a (cid, _cv) centroid table that
+    drops straight into topk_ivf(cents_df=...) — the trained
+    replacement for the deterministic every-Nth coarse quantizer.
+
+    Per iteration: ONE mapInPandas pass does the GEMM assignment AND
+    the per-batch partial sums (cid, n, psum) — so the big side never
+    shuffles and nothing materializes per-vector; the reduce is a
+    groupBy over ≤ k_centroids × partitions tiny partial rows,
+    collected to the driver (k rows) to form the next centroid matrix.
+    Init = the k lowest-id vectors (deterministic). Empty clusters
+    keep their previous centroid. Float64 partial-sum order depends on
+    partitioning, so trained centroids are deterministic only up to
+    ulps — the production trade-off; the every-Nth quantizer remains
+    the value-exact oracle path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = sorted(
+        embeddings.select(id_col, vec_col).orderBy(id_col)
+        .limit(k_centroids).collect(),
+        key=lambda r: r[id_col],
+    )
+    C = np.array([r[vec_col] for r in init], dtype=np.float64)
+    cids = np.arange(len(init), dtype=np.int64)
+
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        def partials(batches, Cn=Cn):
+            for pdf in batches:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                best = (Vn @ Cn.T).argmax(axis=1)
+                uniq = np.unique(best)
+                yield pd.DataFrame(
+                    {
+                        "cid": uniq,
+                        "n": [int((best == u).sum()) for u in uniq],
+                        "psum": [
+                            V[best == u].sum(axis=0).tolist()
+                            for u in uniq
+                        ],
+                    }
+                )
+
+        rows = (
+            embeddings.select(vec_col)
+            .mapInPandas(
+                partials, schema="cid long, n long, psum array<double>"
+            )
+            .groupBy("cid")
+            .agg(
+                F.sum("n").alias("n"),
+                F.collect_list("psum").alias("ps"),
+            )
+            .collect()
+        )
+        C = C.copy()
+        for r in rows:
+            s = np.array(r["ps"], dtype=np.float64).sum(axis=0)
+            C[r["cid"]] = s / r["n"]
+
+    pdf = pd.DataFrame(
+        {
+            "cid": cids,
+            "_cv": [v.astype(np.float32).tolist() for v in C],
+        }
+    )
+    return embeddings.sparkSession.createDataFrame(
+        pdf, schema="cid long, _cv array<float>"
+    )
+
+
 def topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -196,6 +277,7 @@ def topk_ivf(
     nprobe: int = 2,
     assign: str = "exact",
     centroid_cache_key: str | None = None,
+    cents_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors to their nearest centroid, then
     search only the query's `nprobe` nearest inverted lists.
@@ -212,10 +294,14 @@ def topk_ivf(
     Recall < 1 by construction (nprobe lists searched); measured vs
     topk_bruteforce in tests, tunable via nprobe.
     """
-    cents = embeddings.filter(
-        (F.col(id_col) % centroid_every) == 0
-    ).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+    cents = (
+        cents_df
+        if cents_df is not None
+        else embeddings.filter(
+            (F.col(id_col) % centroid_every) == 0
+        ).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+        )
     )
 
     def csim(vec_out):

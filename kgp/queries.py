@@ -106,8 +106,8 @@ DRIVER_WINDOW: list[str] = [
     "kg_canonical_entities",
     "kg_entity_doc_counts_salted",
     "svo_pattern_triples",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
+    "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce (r01+r02 green)
+    "ann_topk_lsh",  # and ann_topk_ivf cover T1 in-window
     "ann_topk_ivf",
     "text_lang_id",
     "temporal_search_filtered",

@@ -1676,3 +1676,49 @@ def q_kg_run_success_rate(spark, sf_dir):
     (Spark SQL `div` ≡ DuckDB `//`; float division would differ in
     stringification, not value)."""
     return run_success_rates(spark, ensure_lineage_fixture_local())
+
+
+@register(
+    "kg_all_nodes",
+    f"""
+{_MENTIONS_CTE},
+ents AS (
+  SELECT 'entity:' || replace(lower(surface), ' ', '_') AS entity_id,
+         min(surface) AS name,
+         min(label) AS typ
+  FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC}
+  GROUP BY 1
+)
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity_id,
+       CAST(doc_id AS VARCHAR) AS name,
+       'Content' AS label, 'web_page' AS type, '' AS canonical_id
+FROM documents
+UNION ALL
+SELECT entity_id, name, 'Entity' AS label, typ AS type,
+       '' AS canonical_id
+FROM ents
+""",
+)
+def q_kg_all_nodes(spark, sf_dir):
+    """U1 — the batched node upsert: ``[content_node] + entity_nodes``
+    in one writer call (gremlin_client.py:133; in_memory.py:65) as a
+    unionByName of the Content-node and Entity-node DataFrames,
+    deduplicated on the upsert key. The id namespaces ('doc:' /
+    'entity:') are disjoint, so the dedup is a per-key no-op carried
+    for upsert semantics; both legs partially aggregate before the
+    union — no extra shuffle beyond the entity groupBy."""
+    from kgp.operators.triples import build_content_nodes, build_entities
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    content = build_content_nodes(docs)
+    ents = build_entities(_doc_capped(spark, sf_dir))
+    return (
+        content.unionByName(ents)
+        .dropDuplicates(["entity_id"])
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.lit("")))
+    )

@@ -218,3 +218,51 @@ def test_ivf_centroid_cache_skips_recollect(spark):
         S._CENTROID_CACHE.pop(key, None)
     assert uncached == first == second
     assert cached_mat[0].shape[0] > 0
+
+
+def test_kmeans_trained_centroids_slot_into_ivf(spark):
+    """train_centroids_kmeans produces a (cid, _cv) table that drops
+    into topk_ivf unchanged; training must not hurt recall vs the
+    untrained every-Nth quantizer and must reduce assignment cost
+    (inertia) over iterations."""
+    import numpy as np
+
+    from kgp.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+        train_centroids_kmeans,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.limit(5)
+
+    def inertia(cents_df):
+        rows = sorted(cents_df.collect(), key=lambda r: r["cid"])
+        C = np.array([r["_cv"] for r in rows], dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        V = np.stack(
+            [r["embedding"] for r in emb.select("embedding").collect()]
+        ).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return float((1.0 - (Vn @ Cn.T).max(axis=1)).sum())
+
+    c1 = train_centroids_kmeans(emb, k_centroids=8, iters=1)
+    c3 = train_centroids_kmeans(emb, k_centroids=8, iters=3)
+    i1, i3 = inertia(c1), inertia(c3)
+    assert i3 <= i1 + 1e-9, (i1, i3)
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_bruteforce(emb, q, k=5).collect()
+    }
+    got = topk_ivf(
+        emb, q, k=5, nprobe=3, assign="gemm", cents_df=c3
+    ).collect()
+    assert got, "trained-centroid IVF returned nothing"
+    hits = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in got
+    }
+    overlap = len(set(exact.items()) & set(hits.items())) / len(exact)
+    assert overlap >= 0.3, overlap  # recall<1 by construction (nprobe)

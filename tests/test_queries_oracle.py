@@ -99,6 +99,7 @@ def test_driver_window_invariants():
         "text_quality_features", "kg_docs_with_entity",
         "tpch_q3ish_shipping_priority", "events_date_roundtrip",
         "events_topn_per_user", "embedding_monthly_centroid",
+        "ann_topk_bruteforce",
         "events_approx_distinct_users", "events_value_percentiles",
     }
     outside = set(names[50:])
