@@ -21,7 +21,7 @@ from kgp.gazetteer import DOCS_ALIAS, docs_alias_sql_values
 from kgp.operators import dedup as D
 from kgp.operators import similarity as S
 from kgp.operators import textstats as T
-from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+from kgp.operators.canon import canonicalize_with_alias
 from kgp.operators.linking import (
     LSH_BANDS,
     LSH_ROWS,
@@ -322,8 +322,7 @@ def q_kg_canonical_entities(spark, sf_dir):
     alias = spark.createDataFrame(
         DOCS_ALIAS, schema="surface string, canonical_id string"
     )
-    same = same_as_from_alias(ents, alias)
-    return canonicalize_entities(ents, same).select(
+    return canonicalize_with_alias(ents, alias).select(
         "entity_id", "canonical_id"
     )
 
@@ -1037,7 +1036,6 @@ def q_kg_triples_canonical(spark, sf_dir):
     canonical ids (X2→X5 integrated into materialization; the
     surface-form triple set kg_triples stays untouched — this is the
     additional canonical view, SURVEY §7.1 step 6 invariant)."""
-    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
     from kgp.operators.triples import normalize_entity_id
     from kgp.queries import _doc_capped
 
@@ -1045,9 +1043,9 @@ def q_kg_triples_canonical(spark, sf_dir):
         DOCS_ALIAS, schema="surface string, canonical_id string"
     )
     ents = q_kg_entities(spark, sf_dir)
-    cmap = canonicalize_entities(
-        ents, same_as_from_alias(ents, alias)
-    ).select("entity_id", "canonical_id")
+    cmap = canonicalize_with_alias(ents, alias).select(
+        "entity_id", "canonical_id"
+    )
     t = _doc_capped(spark, sf_dir).select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
             "subj"

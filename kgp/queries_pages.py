@@ -404,7 +404,7 @@ def q_pages_canonical(spark, sf_dir):
     """X5 — CC canonicalization of the pages entity table; the SQL
     oracle computes the closed form (min entity_id per ≥2-member alias
     group) that connected components must converge to."""
-    from kgp.operators.canon import canonicalize_entities, same_as_from_alias
+    from kgp.operators.canon import canonicalize_with_alias
 
     docs = extract_docs(_pages(spark, sf_dir))
     m = mentions_relational(docs, gazetteer_df(spark))
@@ -413,7 +413,7 @@ def q_pages_canonical(spark, sf_dir):
         [(s, c) for s, _, c in ALIAS_DICT],
         "surface string, canonical_id string",
     )
-    return canonicalize_entities(ents, same_as_from_alias(ents, alias))
+    return canonicalize_with_alias(ents, alias)
 
 
 # ---------------------------------------------------------------------------
