@@ -121,10 +121,19 @@ def main() -> None:
     from kgp.operators.dedup import near_dup_pairs_minhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fast_df = near_dup_pairs_minhash(docs, threshold=0.5, family="fast")
-    fast_df.count()
+
+    # Time CONSTRUCTION + execution: lsh_candidate_pairs eagerly
+    # localCheckpoints the bands table at build time, so a
+    # pre-constructed DataFrame would only re-read checkpoint blocks
+    # and the metric would omit the dominant digest stage.
+    def _run_fast():
+        near_dup_pairs_minhash(
+            docs, threshold=0.5, family="fast"
+        ).count()
+
+    _run_fast()
     t0 = time.perf_counter()
-    fast_df.count()
+    _run_fast()
     minhash_fast_sec = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

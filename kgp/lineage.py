@@ -223,13 +223,10 @@ def ensure_lineage_fixture_local(
     ledger = lineage_dir(out_dir)
     marker = os.path.join(ledger, "_SUCCESS")
     if not os.path.exists(marker):
-        import shutil
-
         import pandas as pd
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        from kgp.synth import _publish_atomic
+        from kgp.synth import publish_fixture_parquet
 
         t0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc).replace(
             tzinfo=None
@@ -260,19 +257,9 @@ def ensure_lineage_fixture_local(
         pdf["rows_out"] = pdf["rows_out"].astype("Int64")
         pdf["started_at"] = pdf["started_at"].astype("datetime64[us]")
         pdf["finished_at"] = pdf["finished_at"].astype("datetime64[us]")
-        tmp = f"{ledger}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(tmp, "part-local.parquet"),
+        publish_fixture_parquet(
+            ledger, pa.Table.from_pandas(pdf, preserve_index=False)
         )
-        with open(os.path.join(tmp, "_SUCCESS"), "w"):
-            pass
-        if os.path.exists(ledger) and not os.path.exists(marker):
-            shutil.rmtree(ledger, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
-        _publish_atomic(tmp, ledger)
     return out_dir
 
 

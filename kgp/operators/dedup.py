@@ -171,8 +171,14 @@ def near_dup_pairs_minhash(
     # all). At real scale the input already has ≥ cores partitions and
     # this is a no-op. doc ids are high-cardinality (CLAUDE.md rule:
     # never repartition on a low-cardinality bucket expression).
+    # Probe narrowness with inputFiles(), NOT rdd.getNumPartitions():
+    # touching .rdd finalizes the plan and, under AQE, eagerly
+    # EXECUTES any upstream shuffle stages at construction time.
+    # inputFiles() reads only the file index; for non-file inputs
+    # (in-memory relations, shuffle outputs) it returns [] and we
+    # skip widening — those arrive with ≥ shuffle.partitions anyway.
     want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
+    if 0 < len(docs.inputFiles()) < want:
         docs = docs.repartition(want, id_col)
     sets_df = docs.select(
         id_col, shingles_col(F.col(text_col)).alias("shingles")

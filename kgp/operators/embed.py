@@ -92,16 +92,17 @@ def ensure_embeddings_parquet_local(
     and this fixture agree bit-for-bit and the driver's DuckDB side can
     hash the identical float32 payloads."""
     import os
-    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from kgp.synth import _publish_atomic, ensure_pages_parquet_local
+    from kgp.synth import (
+        ensure_pages_parquet_local,
+        publish_fixture_parquet,
+    )
 
     path = embeddings_parquet_path(n, dim)
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pages = pq.read_table(
             ensure_pages_parquet_local(n), columns=["url", "text"]
         ).to_pandas()
@@ -115,15 +116,7 @@ def ensure_embeddings_parquet_local(
                 ),
             }
         )
-        tmp = f"{path}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(tbl, os.path.join(tmp, "part-local.parquet"))
-        with open(os.path.join(tmp, "_SUCCESS"), "w"):
-            pass
-        if os.path.exists(path) and not os.path.exists(marker):
-            shutil.rmtree(path, ignore_errors=True)
-        _publish_atomic(tmp, path)
+        publish_fixture_parquet(path, tbl)
     return path
 
 

@@ -120,25 +120,37 @@ def topk_lsh(
 # keyed memo for collected centroid matrices: repeated probes against
 # the same (small) centroid table must not pay a driver collect per
 # call (VERDICT r2 item 8). Callers opt in with a stable key — e.g.
-# an index build version — because DataFrames aren't hashable.
+# an index build version — because DataFrames aren't hashable. Each
+# entry is guarded by the centroid plan's semanticHash: reusing a key
+# with a DIFFERENT centroid DataFrame (retrained index, new data)
+# invalidates the entry instead of silently serving stale centroids.
 _CENTROID_CACHE: dict[str, tuple] = {}
+_CENTROID_CACHE_MAX = 16
 
 
 def collect_centroid_matrix(
     cents: DataFrame, cache_key: str | None = None
 ):
     """(cids int64[c], Cn float64[c,d] row-normalized) from the
-    centroid DataFrame — collected once per cache_key."""
+    centroid DataFrame — collected once per (cache_key, plan)."""
     import numpy as np
 
+    sem = cents.semanticHash() if cache_key is not None else None
     if cache_key is not None and cache_key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[cache_key]
+        cached_sem, mat = _CENTROID_CACHE[cache_key]
+        if cached_sem == sem:
+            return mat
     rows = sorted(cents.collect(), key=lambda r: r["cid"])
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     C = np.array([r["_cv"] for r in rows], dtype=np.float64)
-    mat = (cids, C / np.linalg.norm(C, axis=1, keepdims=True))
+    norms = np.maximum(
+        np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+    )
+    mat = (cids, C / norms)
     if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = mat
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        _CENTROID_CACHE[cache_key] = (sem, mat)
     return mat
 
 
@@ -170,7 +182,11 @@ def _assign_centroids_gemm(
     def assign(batches):
         for pdf in batches:
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # eps guard: an all-zero vector (empty text) must not
+            # poison the batch with NaN rows
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
             best = (Vn @ Cn.T).argmax(axis=1)
             yield pd.DataFrame(
                 {
@@ -216,16 +232,28 @@ def train_centroids_kmeans(
         .limit(k_centroids).collect(),
         key=lambda r: r[id_col],
     )
+    if not init:
+        raise ValueError(
+            "train_centroids_kmeans: embeddings DataFrame is empty"
+        )
     C = np.array([r[vec_col] for r in init], dtype=np.float64)
     cids = np.arange(len(init), dtype=np.int64)
 
     for _ in range(iters):
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # eps guards: a zero vector (empty-text embedding) in the
+        # init rows or a batch must stay a zero ROW, not a NaN row —
+        # NaN in any centroid makes every dot NaN and collapses
+        # argmax to cluster 0 for all vectors.
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
 
         def partials(batches, Cn=Cn):
             for pdf in batches:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
                 best = (Vn @ Cn.T).argmax(axis=1)
                 uniq = np.unique(best)
                 yield pd.DataFrame(

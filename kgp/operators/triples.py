@@ -55,12 +55,17 @@ def normalize_entity_id_py(surface: Column) -> Column:
     '_')`` (gremlin_client.py:116) — pandas Series.str.lower IS
     CPython str.lower element-wise. Use when the gazetteer carries
     non-ASCII surfaces; ~10-100× slower than the JVM path but still
-    Arrow-vectorized, never row-at-a-time."""
+    Arrow-vectorized, never row-at-a-time. NULL surface → NULL id,
+    same as the JVM twin (concat propagates NULL): the two paths must
+    be row-for-row swappable, and NULL-filtering call sites rely on
+    it."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _norm(s):
-        return "entity:" + s.fillna("").str.lower().str.replace(
+        # str accessor maps None → NaN, "entity:" + NaN stays NaN ⇒
+        # arrives as SQL NULL, matching F.concat's NULL propagation
+        return "entity:" + s.str.lower().str.replace(
             " ", "_", regex=False
         )
 

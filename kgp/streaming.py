@@ -155,10 +155,28 @@ def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
     are rewritten (Iceberg's MERGE + rewrite_data_files is the managed
     analog); the full rewrite below is the correct small-scale form of
     the same plan.
+
+    PRECONDITION: no writer may be appending to out_dir while this
+    runs. The swap is two plain renames; a concurrent micro-batch
+    could commit rows into the snapshot window (they'd leave with the
+    backup) or re-create out_dir between the renames. Same-session
+    streams are detected and refused below; cross-process writers
+    must be stopped by the caller (a table format with transactions —
+    Iceberg/Delta MERGE — is the 100 TB answer). On a failed swap
+    nothing is deleted: the original sink is restored, or preserved
+    in the .pre-compact backup named by the raised error.
     """
     import os
     import shutil
 
+    if spark.streams.active:
+        raise RuntimeError(
+            "compact_triples_sink requires all streaming queries "
+            "stopped (active: "
+            f"{[q.name or q.id for q in spark.streams.active]}); a "
+            "concurrent append during the directory swap can lose "
+            "committed rows."
+        )
     sink = _read_sink(spark, out_dir)
     if sink is None:
         return 0
@@ -180,7 +198,26 @@ def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
     after = spark.read.parquet(tmp).count()
     bak = f"{out_dir}.pre-compact-{os.getpid()}"
     os.rename(out_dir, bak)
-    os.rename(tmp, out_dir)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError as e:
+        # out_dir re-created mid-swap (precondition violated) or the
+        # rename failed outright: never delete anything — restore the
+        # original sink if its slot is still free, else point at the
+        # backup.
+        restored = False
+        if not os.path.exists(out_dir):
+            os.rename(bak, out_dir)
+            restored = True
+        raise RuntimeError(
+            "compaction swap failed"
+            + (
+                " (original sink restored)"
+                if restored
+                else f" (original sink preserved at {bak})"
+            )
+            + f"; compacted output left at {tmp}"
+        ) from e
     shutil.rmtree(bak, ignore_errors=True)
     return before - after
 

@@ -154,6 +154,31 @@ def _publish_atomic(tmp: str, path: str) -> None:
             raise
 
 
+def publish_fixture_parquet(dest: str, table) -> None:
+    """The ONE fixture-publish protocol, shared by every local
+    materializer (pages here, embeddings in operators/embed.py,
+    lineage ledger in lineage.py): write <dest>/part-local.parquet +
+    _SUCCESS into a pid-keyed tmp sibling, clear a crashed
+    pre-atomic dest (exists without marker), then atomic-rename into
+    place via _publish_atomic. Concurrent writers race safely — the
+    loser discards its tmp."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(dest, "_SUCCESS")
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "part-local.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    if os.path.exists(dest) and not os.path.exists(marker):
+        shutil.rmtree(dest, ignore_errors=True)
+    _publish_atomic(tmp, dest)
+
+
 def materialize_pages(
     spark: SparkSession, n: int, seed: int = SYNTH_SEED
 ) -> str:
@@ -209,31 +234,14 @@ def ensure_pages_parquet_local(n: int, seed: int = SYNTH_SEED) -> str:
     import os
 
     path = pages_parquet_path(n, seed)
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        import shutil
-
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        # build the complete dir (part + _SUCCESS) in a tmp sibling,
-        # then atomic-rename into place — a concurrent writer can never
-        # observe a partial glob or clobber an in-flight write
-        tmp = f"{path}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         pdf = synth_pages_pdf(n, seed)
         pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(tmp, "part-local.parquet"),
+        publish_fixture_parquet(
+            path, pa.Table.from_pandas(pdf, preserve_index=False)
         )
-        with open(os.path.join(tmp, "_SUCCESS"), "w"):
-            pass
-        # a legacy dest without _SUCCESS is a crashed pre-atomic write
-        if os.path.exists(path) and not os.path.exists(marker):
-            shutil.rmtree(path, ignore_errors=True)
-        _publish_atomic(tmp, path)
     return path
 
 

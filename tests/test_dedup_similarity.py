@@ -187,7 +187,7 @@ def test_ivf_centroid_cache_skips_recollect(spark):
         )
     )
     assert key in S._CENTROID_CACHE
-    cached_mat = S._CENTROID_CACHE[key]
+    cached_mat = S._CENTROID_CACHE[key][1]
 
     # poison collect: a re-collect would now blow up
     import pytest
@@ -201,7 +201,7 @@ def test_ivf_centroid_cache_skips_recollect(spark):
     def guarded(cents, cache_key=None):
         assert cache_key == key
         assert cache_key in S._CENTROID_CACHE
-        return S._CENTROID_CACHE[cache_key]
+        return S._CENTROID_CACHE[cache_key][1]
 
     S.collect_centroid_matrix = guarded
     try:
@@ -266,3 +266,81 @@ def test_kmeans_trained_centroids_slot_into_ivf(spark):
     }
     overlap = len(set(exact.items()) & set(hits.items())) / len(exact)
     assert overlap >= 0.3, overlap  # recall<1 by construction (nprobe)
+
+
+def test_centroid_cache_invalidates_on_different_centroids(spark):
+    """Reusing a cache_key with a DIFFERENT centroid DataFrame must
+    re-collect (semanticHash guard), never serve stale centroids."""
+    from kgp.operators import similarity as S
+
+    key = "test-ivf-stale-v1"
+    S._CENTROID_CACHE.pop(key, None)
+    c1 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, _cv array<double>"
+    )
+    c2 = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "cid long, _cv array<double>",
+    )
+    try:
+        cids1, _ = S.collect_centroid_matrix(c1, cache_key=key)
+        cids2, _ = S.collect_centroid_matrix(c2, cache_key=key)
+        assert len(cids1) == 2 and len(cids2) == 3
+        # same plan again → served from cache without growing it
+        assert len(S._CENTROID_CACHE) <= S._CENTROID_CACHE_MAX
+        cids2b, _ = S.collect_centroid_matrix(c2, cache_key=key)
+        assert list(cids2b) == list(cids2)
+    finally:
+        S._CENTROID_CACHE.pop(key, None)
+
+
+def test_kmeans_zero_vector_does_not_poison_centroids(spark):
+    """A zero vector (empty-text embedding) in the input — even in
+    the init rows — must not produce NaN centroids or collapse
+    training to one cluster."""
+    import numpy as np
+
+    from kgp.operators.similarity import train_centroids_kmeans
+
+    rng = np.random.default_rng(7)
+    rows = [(0, [0.0] * 8)] + [
+        (i, rng.normal(size=8).tolist()) for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_centroids_kmeans(emb, k_centroids=4, iters=2)
+    C = np.array(
+        [r["_cv"] for r in cents.collect()], dtype=np.float64
+    )
+    assert np.isfinite(C).all(), "NaN/inf leaked into centroids"
+    assert C.shape[0] == 4
+
+    import pytest
+
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        train_centroids_kmeans(empty, k_centroids=4, iters=1)
+
+
+def test_compact_refuses_while_stream_active(spark, tmp_path):
+    """compact_triples_sink must refuse to swap directories while any
+    streaming query is active in the session (a concurrent append
+    during the two-rename swap can lose committed rows)."""
+    import pytest
+
+    from kgp.streaming import compact_triples_sink
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="streaming queries"):
+            compact_triples_sink(spark, str(tmp_path / "sink"))
+    finally:
+        q.stop()

@@ -139,3 +139,14 @@ def test_normalize_entity_id_py_full_unicode_parity(spark):
         normalize_entity_id_py(F.col("surface")).alias("b"),
     )
     assert ascii_df.filter(F.col("a") != F.col("b")).count() == 0
+    # NULL surface → NULL id on BOTH paths (JVM concat propagates
+    # NULL; the pandas path must not coin a non-null 'entity:') — the
+    # two paths stay row-for-row swappable for NULL-filtering callers
+    null_df = spark.createDataFrame(
+        [(None,), ("Acme Corp",)], "surface string"
+    ).select(
+        normalize_entity_id(F.col("surface")).alias("a"),
+        normalize_entity_id_py(F.col("surface")).alias("b"),
+    )
+    rows = {(r["a"], r["b"]) for r in null_df.collect()}
+    assert rows == {(None, None), ("entity:acme_corp", "entity:acme_corp")}
