@@ -34,19 +34,28 @@ spark.sparkContext.setLogLevel("ERROR")
 from kgp.operators.ner import gazetteer_df, mentions_relational
 from kgp.operators.segment import extract_docs
 from kgp.operators.triples import build_entities, build_triples, cap_mentions
-from kgp.plans.pipeline import build_kg_fused
+from kgp.plans.pipeline import fused_capped_mentions, outputs_from_capped
+from pyspark import StorageLevel
 
 pages = spark.read.parquet(pages_path)
 
 def run_fused():
-    t, e = build_kg_fused(pages)
-    return t.count(), e.count()
+    capped = fused_capped_mentions(pages).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    try:
+        t, e = outputs_from_capped(capped)
+        return t.count(), e.count()
+    finally:
+        capped.unpersist()
 
 def run_composable():
     docs = extract_docs(pages)
     m = mentions_relational(docs, gazetteer_df(spark))
-    capped = cap_mentions(m)
-    return build_triples(capped).count(), build_entities(capped).count()
+    capped = cap_mentions(m).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return build_triples(capped).count(), build_entities(capped).count()
+    finally:
+        capped.unpersist()
 
 out = {"cores": n_cores}
 for name, run in (("fused", run_fused), ("composable", run_composable)):

@@ -44,11 +44,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
+    from pyspark import StorageLevel
+
     def run_kg(pages_df):
+        # triples AND entities fan out from the capped-mentions table;
+        # persist the shared prefix so the scan+join+cap executes once
+        # (kgp.checkpoint does the same via a stage-boundary parquet)
         docs = extract_docs(pages_df)
         mentions = mentions_relational(docs, gazetteer_df(spark))
-        capped = cap_mentions(mentions)
-        return build_triples(capped).count(), build_entities(capped).count()
+        capped = cap_mentions(mentions).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            return (
+                build_triples(capped).count(),
+                build_entities(capped).count(),
+            )
+        finally:
+            capped.unpersist()
 
     # materialize input once (generation is not part of the measured
     # op) — same versioned cache the oracle-gated queries read
@@ -65,11 +78,17 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     # fused single-shuffle physical plan (kgp.plans.pipeline)
-    from kgp.plans.pipeline import build_kg_fused
+    from kgp.plans.pipeline import fused_capped_mentions, outputs_from_capped
 
     def run_fused(pages_df):
-        t, e = build_kg_fused(pages_df)
-        return t.count(), e.count()
+        capped = fused_capped_mentions(pages_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            t, e = outputs_from_capped(capped)
+            return t.count(), e.count()
+        finally:
+            capped.unpersist()
 
     t0 = time.perf_counter()
     run_fused(pages)

@@ -78,24 +78,24 @@ def capped_mentions_col(
     )
 
 
-def build_kg_fused(
+def fused_capped_mentions(
     pages: DataFrame, gaz: list[tuple[str, str]] | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """(triples, entities) from pages in one narrow pass + two dedups.
+) -> DataFrame:
+    """(url, surface, label, first_offset) — the fused narrow pass.
 
-    F.locate is not a HOF-lambda-capable builtin for per-element
-    surfaces, so the gazetteer unrolls into the projection — fine for
-    dictionary gazetteers (10²–10³ literals); beyond that the Arrow
-    UDF extractor path (kgp.operators.ner.mentions_arrow) takes over
-    with the same in-row cap.
+    This is the shared prefix of BOTH pipeline outputs. Callers that
+    consume triples AND entities should materialize it once
+    (persist / stage-boundary parquet, as kgp.checkpoint does) so the
+    scan + in-row extraction doesn't execute per downstream action —
+    at 100 TB the capped table is ~cap×|docs| short rows, far smaller
+    than the page scan it replaces.
     """
     from kgp.operators.segment import with_segments
-    from kgp.operators.triples import normalize_entity_id
 
     docs = with_segments(pages).select(
         "url", F.col("extracted_text").alias("_t")
     )
-    capped = docs.select(
+    return docs.select(
         "url", F.explode(capped_mentions_col(F.col("_t"), gaz)).alias("m")
     ).select(
         "url",
@@ -103,6 +103,13 @@ def build_kg_fused(
         F.col("m.label").alias("label"),
         F.col("m.first_offset").alias("first_offset"),
     )
+
+
+def outputs_from_capped(capped: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(triples, entities) from a capped-mentions table (possibly
+    persisted / re-read from a stage boundary)."""
+    from kgp.operators.triples import normalize_entity_id
+
     subj = F.concat(F.lit("page:"), F.col("url"))
     obj = normalize_entity_id(F.col("surface"))
     triples = (
@@ -134,3 +141,23 @@ def build_kg_fused(
         )
     )
     return triples, entities
+
+
+def build_kg_fused(
+    pages: DataFrame, gaz: list[tuple[str, str]] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(triples, entities) from pages in one narrow pass + two dedups.
+
+    F.locate is not a HOF-lambda-capable builtin for per-element
+    surfaces, so the gazetteer unrolls into the projection — fine for
+    dictionary gazetteers (10²–10³ literals); beyond that the Arrow
+    UDF extractor path (kgp.operators.ner.mentions_arrow) takes over
+    with the same in-row cap.
+
+    NOTE: the two returned frames share the fused extraction prefix as
+    an unmaterialized plan — executing both re-runs the page scan.
+    Consumers of both outputs should use fused_capped_mentions +
+    outputs_from_capped around a persist (see bench.py) or a stage
+    write (kgp.checkpoint).
+    """
+    return outputs_from_capped(fused_capped_mentions(pages, gaz))
