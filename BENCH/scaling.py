@@ -168,7 +168,10 @@ parallelism levels in fresh JVMs: `local[8]` (N) vs `local[32]` (4N).
 Job: the flagship FUSED physical plan (kgp/plans/pipeline.py, the
 production plan per PLANS.md) — pages({n_pages}) → in-row
 segment/extract/NER/cap (S3/S4/F1/P3/A1/T4) → triples (J1/S6) +
-entities (S5), both outputs counted. The composable operator chain is
+entities (S5), both outputs counted; the shared capped-mentions
+prefix is persisted once (MEMORY_AND_DISK) so the extraction stage
+runs once for the two output actions, mirroring the resumable
+pipeline's stage-boundary write. The composable operator chain is
 measured alongside for reference. Input parquet pre-materialized as
 128 files so every leg runs multiple task waves (one file per slot
 would make the wide leg straggler-bound). Methodology: untimed
