@@ -33,12 +33,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cc_local(e: DataFrame) -> DataFrame:
+def _cc_local(spark, collected_edges) -> DataFrame:
     """Union-find on the driver for SMALL edge sets (≤ the caller's
     threshold — the same justification as a broadcast join: the data
-    provably fits in one process). Produces the identical
-    (node, component=min node id) labeling as the distributed loop
-    (equality asserted in tests/test_linking_canon.py)."""
+    provably fits in one process). Union-find is direction-agnostic
+    and idempotent, so the raw (possibly duplicated, one-direction)
+    edge rows suffice — no union/distinct pre-pass. Produces the
+    identical (node, component=min node id) labeling as the
+    distributed loop (equality asserted in tests/test_linking_canon.py).
+    """
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -49,7 +52,7 @@ def _cc_local(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
+    for row in collected_edges:
         # register both endpoints (a self-loop node must appear in the
         # output labeled as itself, as the distributed loop does)
         parent.setdefault(row["a"], row["a"])
@@ -60,9 +63,7 @@ def _cc_local(e: DataFrame) -> DataFrame:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
     rows = [(n, find(n)) for n in sorted(parent)]
-    return e.sparkSession.createDataFrame(
-        rows, "node string, component string"
-    )
+    return spark.createDataFrame(rows, "node string, component string")
 
 
 def connected_components(
@@ -77,27 +78,27 @@ def connected_components(
     `edges` is an undirected same-as pair set; ids are strings. Nodes
     with no edges are absent (callers left-join and coalesce to self).
 
-    Size dispatch: a same-as graph under `small_graph_threshold`
-    directed edges resolves via driver-side union-find (one bounded
-    collect — the iterative loop's ~1 s/round of action+checkpoint
-    overhead dwarfs an 11-node graph); anything larger runs the
-    hash-min + pointer-doubling loop, whose O(log diameter) rounds are
-    the 100 TB path. Pass small_graph_threshold=0 to force the
-    distributed loop.
+    Size dispatch: a same-as graph under `small_graph_threshold` input
+    edge rows resolves via driver-side union-find — ONE bounded job
+    (`limit(threshold+1).collect()` is both the size probe and the
+    data fetch; union-find needs no symmetrized/deduped edges, so the
+    small path skips the union+distinct+checkpoint entirely — the
+    iterative loop's per-round action overhead dwarfs an 11-node
+    graph). Anything larger runs the hash-min + pointer-doubling loop,
+    whose O(log diameter) rounds are the 100 TB path. Pass
+    small_graph_threshold=0 to force the distributed loop.
     """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if small_graph_threshold:
+        # scans at most threshold+1 rows, not the full edge set
+        sample = raw.limit(small_graph_threshold + 1).collect()
+        if len(sample) <= small_graph_threshold:
+            return _cc_local(edges.sparkSession, sample)
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
-    if (
-        small_graph_threshold
-        # probe scans at most threshold+1 rows, not the full edge set
-        and e.limit(small_graph_threshold + 1).count()
-        <= small_graph_threshold
-    ):
-        return _cc_local(e)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
