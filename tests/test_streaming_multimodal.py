@@ -227,3 +227,36 @@ def test_compact_triples_sink_restores_global_key_invariant(
     assert compact_triples_sink(spark, out_dir) == 0
     # empty/missing sink is a no-op
     assert compact_triples_sink(spark, str(tmp_path / "nope")) == 0
+
+
+def test_stream_kg_cli_end_to_end(tmp_path):
+    """jobs/stream_kg.py drains synthetic crawl waves into a
+    duplicate-free date-partitioned sink and exits 0 (subprocess: the
+    CLI owns its own SparkSession and stops it)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "stream_kg.py"),
+            "--synth", "300", "--batches", "2", "--cores", "4",
+            "--output", str(tmp_path / "o"), "--compact",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    drained = [
+        ln for ln in r.stdout.splitlines() if ln.startswith("drained")
+    ]
+    assert drained, r.stdout[-2000:]
+    rows = int(re.search(r"sink_rows=(\d+)", drained[0]).group(1))
+    keys = int(re.search(r"distinct_triples=(\d+)", drained[0]).group(1))
+    assert rows == keys > 0
+    assert "compacted: removed 0" in r.stdout
