@@ -47,18 +47,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def timed(name, fn):
-        """Untimed warmup → min-of-2 timed runs. Returns (sec, result)."""
+    def timed(name, fn, record=True):
+        """Untimed warmup → min-of-2 timed runs. Returns (sec, result).
+        record=False keeps a side metric out of the headline totals."""
         t0 = time.perf_counter()
         out = fn()
-        cold[name] = round(time.perf_counter() - t0, 3)
+        if record:
+            cold[name] = round(time.perf_counter() - t0, 3)
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        if record:
+            timings[name] = round(best, 3)
         return best, out
 
     from pyspark import StorageLevel
@@ -142,18 +145,13 @@ def main() -> None:
     # localCheckpoints the bands table at build time, so a
     # pre-constructed DataFrame would only re-read checkpoint blocks
     # and the metric would omit the dominant digest stage.
-    def _run_fast():
-        near_dup_pairs_minhash(
+    best, _ = timed(
+        "minhash_fast",
+        lambda: near_dup_pairs_minhash(
             docs, threshold=0.5, family="fast"
-        ).count()
-
-    _run_fast()
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _run_fast()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+        ).count(),
+        record=False,
+    )
     minhash_fast_sec = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -77,14 +77,19 @@ def main(argv: list[str] | None = None) -> int:
         # crawl batches landing over time; generation is skipped when
         # the dir already exists (else a rerun would append duplicate
         # input files — harmless to the sink thanks to the dedup
-        # anti-join, but it burns a no-op drain pass)
+        # anti-join, but it burns a no-op drain pass). All waves land
+        # in a tmp dir published by one atomic rename, so a crash
+        # mid-generation can't leave a partial corpus that a rerun
+        # would silently accept as complete.
         if not os.path.exists(pages_dir):
+            tmp_dir = f"{pages_dir}.tmp-{os.getpid()}"
             pages = synth_pages(spark, args.synth)
             per = max(1, args.batches)
             for b in range(per):
                 pages.filter(
                     f"pmod(xxhash64(url), {per}) = {b}"
-                ).coalesce(4).write.mode("append").parquet(pages_dir)
+                ).coalesce(4).write.mode("append").parquet(tmp_dir)
+            os.rename(tmp_dir, pages_dir)
     if not pages_dir:
         ap.error("--input or --synth required")
 
@@ -93,7 +98,17 @@ def main(argv: list[str] | None = None) -> int:
     query.awaitTermination()  # availableNow: returns when drained
 
     progress = query.lastProgress or {}
-    sink = spark.read.parquet(sink_dir)
+    # a drain that found no new files never creates the sink (normal
+    # on the first cron run before any crawl lands) — _read_sink
+    # returns None instead of raising PATH_NOT_FOUND
+    from kgp.streaming import _read_sink
+
+    sink = _read_sink(spark, sink_dir)
+    if sink is None:
+        print(f"drained batch_id={progress.get('batchId')} "
+              f"sink_rows=0 distinct_triples=0 (no input yet)")
+        spark.stop()
+        return 0
     n_rows = sink.count()
     n_keys = sink.select("subj", "pred", "obj").distinct().count()
     print(f"drained batch_id={progress.get('batchId')} "

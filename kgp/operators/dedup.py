@@ -177,9 +177,37 @@ def near_dup_pairs_minhash(
     # inputFiles() reads only the file index; for non-file inputs
     # (in-memory relations, shuffle outputs) it returns [] and we
     # skip widening — those arrive with ≥ shuffle.partitions anyway.
+    # File COUNT alone over-triggers: a few multi-GB parquet files are
+    # splittable and already scan wide, so estimate the scan's task
+    # count as ceil(bytes / maxPartitionBytes) per file and widen only
+    # when that estimate is narrow too.
     want = docs.sparkSession.sparkContext.defaultParallelism
-    if 0 < len(docs.inputFiles()) < want:
-        docs = docs.repartition(want, id_col)
+    files = docs.inputFiles()
+    if 0 < len(files) < want:
+        spark = docs.sparkSession
+        max_pb = int(
+            "".join(
+                ch
+                for ch in str(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728b"
+                    )
+                )
+                if ch.isdigit()
+            )
+            or "134217728"
+        )
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        est_tasks = 0
+        for f in files:  # bounded: len(files) < cores by the guard
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            est_tasks += max(1, -(-size // max_pb))
+            if est_tasks >= want:
+                break
+        if est_tasks < want:
+            docs = docs.repartition(want, id_col)
     sets_df = docs.select(
         id_col, shingles_col(F.col(text_col)).alias("shingles")
     )

@@ -121,9 +121,13 @@ def topk_lsh(
 # the same (small) centroid table must not pay a driver collect per
 # call (VERDICT r2 item 8). Callers opt in with a stable key — e.g.
 # an index build version — because DataFrames aren't hashable. Each
-# entry is guarded by the centroid plan's semanticHash: reusing a key
-# with a DIFFERENT centroid DataFrame (retrained index, new data)
-# invalidates the entry instead of silently serving stale centroids.
+# entry is guarded by the centroid plan's semanticHash as a safety
+# net: reusing a key with a structurally different plan (new literal
+# data via createDataFrame, a different path) invalidates the entry.
+# The hash is over the PLAN, not the files — overwriting the same
+# parquet path with retrained centroids produces the same plan, so
+# the CALLER owns invalidation across retrains: bump the cache_key
+# (that's why it should be an index build/version id, not a constant).
 _CENTROID_CACHE: dict[str, tuple] = {}
 _CENTROID_CACHE_MAX = 16
 

@@ -137,6 +137,16 @@ def start_kg_stream(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported URI — local, hdfs://,
+    s3a://. Directory swaps must go through this, not os.rename: the
+    sink of a cluster job is almost never on the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
     """S6 upsert compaction: restore the global (subj, pred, obj) key
     invariant that the per-date streaming dedup relaxes.
@@ -165,9 +175,13 @@ def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
     Iceberg/Delta MERGE — is the 100 TB answer). On a failed swap
     nothing is deleted: the original sink is restored, or preserved
     in the .pre-compact backup named by the raised error.
+
+    Filesystem ops go through the Hadoop FileSystem API so the swap
+    works wherever the sink lives (local, HDFS, s3a). Caveat: rename
+    is atomic on local/HDFS but a copy on S3A — on object stores the
+    transactional-table formats above are the real answer.
     """
     import os
-    import shutil
 
     if spark.streams.active:
         raise RuntimeError(
@@ -197,18 +211,22 @@ def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
     )
     after = spark.read.parquet(tmp).count()
     bak = f"{out_dir}.pre-compact-{os.getpid()}"
-    os.rename(out_dir, bak)
-    try:
-        os.rename(tmp, out_dir)
-    except OSError as e:
+    fs, out_p = _hadoop_fs(spark, out_dir)
+    tmp_p = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = spark._jvm.org.apache.hadoop.fs.Path(bak)
+    if not fs.rename(out_p, bak_p):
+        raise RuntimeError(
+            f"compaction swap failed moving sink aside to {bak}; "
+            f"sink untouched, compacted output left at {tmp}"
+        )
+    if not fs.rename(tmp_p, out_p):
         # out_dir re-created mid-swap (precondition violated) or the
         # rename failed outright: never delete anything — restore the
         # original sink if its slot is still free, else point at the
         # backup.
         restored = False
-        if not os.path.exists(out_dir):
-            os.rename(bak, out_dir)
-            restored = True
+        if not fs.exists(out_p):
+            restored = fs.rename(bak_p, out_p)
         raise RuntimeError(
             "compaction swap failed"
             + (
@@ -217,8 +235,8 @@ def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:
                 else f" (original sink preserved at {bak})"
             )
             + f"; compacted output left at {tmp}"
-        ) from e
-    shutil.rmtree(bak, ignore_errors=True)
+        )
+    fs.delete(bak_p, True)
     return before - after
 
 
