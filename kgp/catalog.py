@@ -55,6 +55,67 @@ class Catalog:
             return
         df.write.mode(mode).parquet(self.location(table))
 
+    def table_name(self, table: str) -> str:
+        """Session-catalog identifier for bucketed tables."""
+        return f"{self.namespace}_{table}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Hash-bucketed layout (X6 companion, the 100 TB join lever):
+        a table bucketed on its join key joins another table bucketed
+        on the same key with the SAME bucket count with NO Exchange on
+        either side — the co-location is established once at write
+        time instead of re-shuffling the fact table on every query.
+        For the KG that means `triples` bucketed by obj and `entities`
+        by entity_id make every endpoint-resolution join (J2/J3, the
+        hottest repeated join in the reference's serving path,
+        /root/reference/src/kg/gremlin_client.py:87-94) shuffle-free.
+
+        Bucketed parquet needs the session catalog (saveAsTable), so
+        these tables resolve via spark.table(); files live under the
+        catalog root like every other table. sortBy(bucket_cols) is
+        applied by default so each bucket file is also sorted — joins
+        skip the per-task sort when both sides match. On Iceberg the
+        same declaration is a partition-transform (bucket(N, col)).
+        """
+        spark = df.sparkSession
+        if self.fmt == "iceberg":
+            # Iceberg expresses bucketing as a partition transform on
+            # the table; dispatch-only in the sandbox (no jars).
+            from pyspark.sql.functions import bucket
+
+            transforms = [bucket(buckets, c) for c in bucket_cols]
+            df.writeTo(self.location(table)).partitionedBy(
+                transforms[0], *transforms[1:]
+            ).createOrReplace()
+            return
+        name = self.table_name(table)
+        if mode == "overwrite":
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode(mode)
+            .format("parquet")
+            .option("path", f"{self.root}/{table}")
+            .bucketBy(buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .saveAsTable(name)
+        )
+
+    def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read a bucketed table WITH its bucket metadata (a plain
+        parquet read of the same files would lose the layout and
+        reintroduce the Exchange)."""
+        if self.fmt == "iceberg":
+            return self.read(spark, table)
+        return spark.table(self.table_name(table))
+
     def truncate(self, spark: SparkSession, table: str) -> None:
         """S8 destructive truncate (gremlin_client.py:223-245) — the
         set-oriented twin of the reference's drop-all traversal."""

@@ -28,6 +28,51 @@ def test_catalog_iceberg_seam_routes(tmp_path):
     assert Catalog(str(tmp_path)).location("triples").endswith("/triples")
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """X6 companion: triples bucketed by obj ⋈ entities bucketed by
+    entity_id (same bucket count) must run with NO Exchange on either
+    side — the J2 endpoint-resolution join co-located at write time.
+    The same files read as plain parquet LOSE the layout and shuffle,
+    proving the bucket metadata (not luck) removes the exchanges."""
+    from kgp.plans.pipeline import build_kg_fused
+
+    triples, entities = build_kg_fused(synth_pages(spark, 80))
+    cat = Catalog(str(tmp_path))
+    cat.write_bucketed(triples, "triples_b", 8, ["obj"])
+    cat.write_bucketed(entities, "entities_b", 8, ["entity_id"])
+    try:
+        t = cat.read_bucketed(spark, "triples_b")
+        e = cat.read_bucketed(spark, "entities_b")
+        # hint forces SortMergeJoin: the 64 MB broadcast threshold
+        # would otherwise hide the exchange question at test scale
+        joined = t.hint("merge").join(
+            e, t["obj"] == e["entity_id"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # value parity vs the straightforward join
+        expect = triples.join(
+            entities, triples["obj"] == entities["entity_id"]
+        ).count()
+        assert joined.count() == expect > 0
+        # control: plain parquet read of the SAME files reintroduces
+        # the shuffles (bucket layout lives in the catalog metadata)
+        t_raw = spark.read.parquet(str(tmp_path / "triples_b"))
+        e_raw = spark.read.parquet(str(tmp_path / "entities_b"))
+        raw_plan = (
+            t_raw.hint("merge")
+            .join(e_raw, t_raw["obj"] == e_raw["entity_id"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" in raw_plan, raw_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cat.table_name('triples_b')}")
+        spark.sql(f"DROP TABLE IF EXISTS {cat.table_name('entities_b')}")
+
+
 def test_embedding_deterministic_across_partitionings(spark):
     pages = synth_pages(spark, 60)
     a = {
