@@ -113,7 +113,9 @@ DRIVER_WINDOW: list[str] = [
     "temporal_search_filtered",
     "kg_doc_entity_sets",
     "kg_graph_export_nodes",
-    "kg_graph_export_edges",
+    # kg_graph_export_edges demoted (r02-green; S9 stays in-window via
+    # _nodes + _counts) to admit the set-ops entry:
+    "events_user_setops",
     "customers_without_big_orders",
     "source_strategy_dispatch",
     "events_value_percentiles_exact",

@@ -1420,6 +1420,37 @@ def q_events_rollup(spark, sf_dir):
 
 
 @register(
+    "events_user_setops",
+    """
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+     p AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+SELECT user_id, 'both' AS tag
+FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+UNION ALL
+SELECT user_id, 'view_only' AS tag
+FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+""",
+)
+def q_events_user_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT set ops (SURVEY §2.7 '—' row): users who both
+    viewed and purchased vs users who only viewed. Spark's intersect()
+    and subtract() are the distinct set-op forms, matching SQL
+    INTERSECT/EXCEPT. Physical shape: each set op is one hash
+    aggregate over the union of both (filtered, projected) sides —
+    same shuffle count as the UNION-based rewrite, no join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = v.intersect(p).withColumn("tag", F.lit("both"))
+    view_only = v.subtract(p).withColumn("tag", F.lit("view_only"))
+    return both.unionByName(view_only)
+
+
+@register(
     "events_asof_last_purchase",
     """
 WITH l AS (SELECT event_id, user_id, ts FROM events

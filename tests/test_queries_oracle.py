@@ -96,6 +96,9 @@ def test_driver_window_invariants():
         "pages_video_timeline", "pages_triples", "pages_entities",
         "pages_frame_samples", "dedup_fingerprint_groups",
         "dedup_ngram_jaccard_pairs", "kg_linked_mentions",
+        # demoted late-r3 for events_user_setops; r02-driver-green,
+        # S9 stays in-window via _nodes + _counts
+        "kg_graph_export_edges",
         "text_quality_features", "kg_docs_with_entity",
         "tpch_q3ish_shipping_priority", "events_date_roundtrip",
         "events_topn_per_user", "embedding_monthly_centroid",
