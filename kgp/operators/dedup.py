@@ -246,3 +246,58 @@ def near_dup_pairs_bruteforce(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus boilerplate mining: the `top` most document-frequent
+    positional n-grams (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" finds repeated n-grams are the
+    dominant contamination in web corpora; C4 removes lines repeated
+    >=3 times — this is the same policy for corpora without line
+    structure). Output (gram, n_docs, n_occurrences), ordered by
+    document frequency with a total tiebreak so the top-k is
+    deterministic.
+
+    Scale shape: explode is narrow; the groupBy(gram) partially
+    aggregates map-side, so the shuffle carries one row per distinct
+    gram per partition, not the exploded stream; countDistinct(doc) is
+    a two-phase agg on the same key. The final ordered cap compiles to
+    TakeOrderedAndProject (per-partition heap, no global sort). At
+    10^12 docs the gram key space is heavy-tailed; AQE skew-split
+    handles the head grams and `min_docs` prunes the unique-gram tail
+    before the top-k.
+    """
+    grams = (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {n}), "
+                    f"i -> concat_ws(' ', "
+                    + ", ".join(f"w[i + {j}]" for j in range(n))
+                    + "))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram")
+        )
+        .limit(top)
+    )

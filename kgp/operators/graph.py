@@ -1,0 +1,122 @@
+"""Graph analytics over the materialized KG: deterministic integer
+PageRank on DataFrames (GraphFrames-style iterative joins, no RDDs).
+
+The reference stores its graph in a Gremlin server and does no global
+analytics over it; entity importance ranking is the natural next query
+a KG consumer runs, so it is implemented here as a first-class operator
+(exceeds reference semantics by design, like the IVF ANN path).
+
+Why INTEGER PageRank: float PageRank sums contributions in partition
+order, so the same graph yields last-ulp-different ranks across
+engines (and across Spark runs with different partitioning) — that can
+never sit on a value-exact cross-engine gate. With ranks as scaled
+BIGINTs and the damped contribution computed by integer division
+(``(85 * rank) div (100 * deg)``), addition is associative and
+commutative EXACTLY, so Spark and DuckDB agree bit-for-bit regardless
+of order. The fixed-point semantics (damping 0.85, base 0.15 scaled by
+1e6) are pinned; convergence behavior matches float PageRank to ~1e-6
+per iteration, plenty for ranking.
+
+Scale shape (100 TB): per iteration, one shuffle to join ranks onto
+edges by src (both sides hash-partitioned on the same key — with the
+edge table bucketed by src via kgp.catalog the exchange on the edge
+side disappears) and one shuffle for the sum-by-dst, which partially
+aggregates map-side. The rank table carries 16 bytes/node. Degree is
+computed once, outside the loop. Lineage growth per iteration is two
+joins; for deep iteration counts pass ``checkpoint_every`` so the plan
+is cut with localCheckpoint before it compounds (same pattern as the
+pointer-doubling CC loop in kgp/operators/canon.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_INIT = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
+PR_BASE = 150_000    # (1 - damping) * scale == 0.15 * 1e6
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 3,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Deterministic integer PageRank over directed ``edges(src, dst)``.
+
+    ``edges`` must already be distinct directed pairs (symmetrize an
+    undirected graph with a union before calling). ``nodes(id)``
+    defaults to the endpoints of ``edges``; pass it explicitly to keep
+    isolated vertices (they hold rank PR_BASE after the first
+    iteration). Returns ``(id, rank)`` with rank a scaled BIGINT.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) is loop-invariant; at scale persist/bucket it
+    out = edges.join(deg, "src")
+    ranks = nodes.select("id", F.lit(PR_INIT).cast("long").alias("rank"))
+    for i in range(iters):
+        contribs = (
+            out.join(ranks, out.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                # integer div: exact in any summation order (DuckDB //)
+                F.expr("(85 * rank) div (100 * deg)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_sql(de_cte: str, iters: int = 3) -> str:
+    """DuckDB twin: unrolled iterations over the same integer
+    semantics. ``de_cte`` must define ``de(doc_id, eid)`` — distinct
+    doc→entity incidence; the co-occurrence edge set and the rank
+    recurrence are derived from it exactly as the Spark side does.
+    """
+    parts = [
+        de_cte,
+        """
+edges AS (SELECT a.eid AS src, b.eid AS dst
+          FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+          GROUP BY 1, 2),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT eid AS id FROM de),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+r{i + 1} AS (
+  SELECT n.id,
+         -- sum(BIGINT) is HUGEINT in DuckDB; outer CAST pins BIGINT
+         CAST(150000 + coalesce(sum(j.c), 0) AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS dst, (85 * r.rank) // (100 * d.deg) AS c
+    FROM edges e JOIN deg d ON e.src = d.src
+                 JOIN r{i} r ON r.id = e.src
+  ) j ON j.dst = n.id
+  GROUP BY n.id
+)"""
+        )
+    sql = ",".join(parts)
+    return (
+        sql
+        + f"\nSELECT id AS entity_id, rank AS pagerank FROM r{iters}"
+    )

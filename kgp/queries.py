@@ -88,6 +88,10 @@ DRIVER_WINDOW: list[str] = [
     "kg_search_suggestions",
     "kg_run_stats",
     "kg_run_success_rate",
+    # -- late round-3 additions (graph analytics, split, boilerplate) --
+    "kg_pagerank",
+    "docs_train_split",
+    "docs_boilerplate_ngrams",
     # -- keepers: unique-operator core, re-verified every round --
     "kg_triples",
     "pages_extracted_docs",
@@ -98,7 +102,8 @@ DRIVER_WINDOW: list[str] = [
     "pages_canonical_entities",
     "pages_near_dup_pairs",
     "pages_html_media_features",
-    "dedup_exact_groups",
+    # dedup_exact_groups demoted (r02-green; dedup family stays
+    # in-window via simhash/minhash/embedding) for kg_pagerank:
     "dedup_simhash_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_pairs",
@@ -109,9 +114,12 @@ DRIVER_WINDOW: list[str] = [
     "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce (r01+r02 green)
     "ann_topk_lsh",  # and ann_topk_ivf cover T1 in-window
     "ann_topk_ivf",
-    "text_lang_id",
+    # text_lang_id demoted (r02-green; textstats family stays
+    # in-window via text_token_counts/text_quality_score) for
+    # docs_train_split; kg_doc_entity_sets demoted (r02-green; A3
+    # covered by kg_entity_doc_counts in-window) for
+    # docs_boilerplate_ngrams:
     "temporal_search_filtered",
-    "kg_doc_entity_sets",
     "kg_graph_export_nodes",
     # kg_graph_export_edges demoted (r02-green; S9 stays in-window via
     # _nodes + _counts) to admit the set-ops entry:

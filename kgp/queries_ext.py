@@ -1751,3 +1751,111 @@ def q_kg_all_nodes(spark, sf_dir):
         .dropDuplicates(["entity_id"])
         .withColumn("canonical_id", F.coalesce("canonical_id", F.lit("")))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3 late additions: graph analytics + training-data splitting +
+# corpus boilerplate mining
+# ---------------------------------------------------------------------------
+
+from kgp.constants import MAX_ENTITIES_PER_DOC as _MAXE
+from kgp.operators.graph import pagerank_sql
+
+_DE_CTE = (
+    _MENTIONS_CTE
+    + f""",
+de AS (SELECT DISTINCT doc_id,
+              'entity:' || replace(lower(surface), ' ', '_') AS eid
+       FROM capped WHERE rnk <= {_MAXE})"""
+)
+
+
+@register("kg_pagerank", pagerank_sql(_DE_CTE, iters=3))
+def q_kg_pagerank(spark, sf_dir):
+    """Entity importance over the co-occurrence graph: deterministic
+    integer PageRank, 3 iterations (kgp.operators.graph — iterative
+    DataFrame joins, GraphFrames-style; the DuckDB twin unrolls the
+    same recurrence). The reference holds its graph in Gremlin and
+    ships no global analytics; this is the natural downstream query a
+    KG consumer runs, implemented engine-side like the IVF ANN path."""
+    from kgp.operators.graph import pagerank_int
+    from kgp.operators.triples import normalize_entity_id
+    from kgp.queries import _doc_capped
+
+    de = (
+        _doc_capped(spark, sf_dir)
+        .select(
+            "doc_id", normalize_entity_id(F.col("surface")).alias("eid")
+        )
+        .distinct()
+    )
+    a = de.select("doc_id", F.col("eid").alias("src"))
+    b = de.select("doc_id", F.col("eid").alias("dst"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = de.select(F.col("eid").alias("id")).distinct()
+    pr = pagerank_int(edges, nodes=nodes, iters=3)
+    return pr.select(
+        F.col("id").alias("entity_id"), F.col("rank").alias("pagerank")
+    )
+
+
+from kgp.operators.sampling import hash_bucket_sql, hash_split
+
+
+@register(
+    "docs_train_split",
+    f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {hash_bucket_sql('doc_id')} AS bucket
+      FROM documents) b
+""",
+)
+def q_docs_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    md5(doc_id) (kgp.operators.sampling): the reproducible-split
+    primitive every training-data pipeline needs — rand() cannot give
+    stable assignment across re-runs/resumes. Pure stateless JVM
+    projection, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    return hash_split(docs)
+
+
+@register(
+    "docs_boilerplate_ngrams",
+    """
+WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     FOR i IN range(1, len(w) - 1)]) AS gram
+      FROM wt WHERE len(w) >= 3),
+agg AS (SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY 1)
+SELECT gram, n_docs, n_occurrences
+FROM agg WHERE n_docs >= 5
+ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
+LIMIT 50
+""",
+)
+def q_docs_boilerplate_ngrams(spark, sf_dir):
+    """Corpus boilerplate mining: top-50 most document-frequent token
+    3-grams (kgp.operators.dedup.frequent_ngrams — the C4
+    repeated-line policy adapted to corpora without line structure).
+    Total tiebreak (n_docs, n_occurrences, gram) keeps the capped
+    top-k deterministic; plan is TakeOrderedAndProject, no global
+    sort."""
+    from kgp.operators.dedup import frequent_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frequent_ngrams(docs, n=3, min_docs=5, top=50)

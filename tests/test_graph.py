@@ -1,0 +1,103 @@
+"""Graph analytics + sampling operators: integer PageRank semantics
+vs a pure-Python reference, split determinism/uniformity, boilerplate
+n-gram mining."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp.operators.graph import PR_BASE, PR_INIT, pagerank_int
+from kgp.operators.sampling import hash_split
+
+EDGES = [  # directed, already symmetrized where undirected
+    ("a", "b"), ("b", "a"),
+    ("a", "c"), ("c", "a"),
+    ("b", "c"), ("c", "b"),
+    ("d", "a"),  # d points at the hub but nothing points back
+]
+NODES = ["a", "b", "c", "d", "iso"]  # 'iso' has no edges at all
+
+
+def _py_pagerank_int(edges, nodes, iters=3):
+    """Line-for-line fixed-point recurrence in pure Python."""
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: PR_INIT for n in nodes}
+    for _ in range(iters):
+        nxt = {n: PR_BASE for n in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * r[s]) // (100 * out[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    nodes = spark.createDataFrame([(n,) for n in NODES], "id string")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_int(edges, nodes=nodes, iters=3).collect()
+    }
+    assert got == _py_pagerank_int(EDGES, NODES, iters=3)
+    # isolated vertex holds the damped base after the first iteration
+    assert got["iso"] == PR_BASE
+    # the hub outranks its satellites
+    assert got["a"] == max(got.values())
+
+
+def test_pagerank_close_to_float_semantics(spark):
+    """The fixed-point recurrence tracks float PageRank to ~1e-5 per
+    node (scaled), so ranking order is the standard one."""
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    nodes = spark.createDataFrame([(n,) for n in NODES], "id string")
+    got = {
+        r["id"]: r["rank"] / PR_INIT
+        for r in pagerank_int(edges, nodes=nodes, iters=3).collect()
+    }
+    out = {}
+    for s, _ in EDGES:
+        out[s] = out.get(s, 0) + 1
+    rf = {n: 1.0 for n in NODES}
+    for _ in range(3):
+        nxt = {n: 0.15 for n in NODES}
+        for s, d in EDGES:
+            nxt[d] += 0.85 * rf[s] / out[s]
+        rf = nxt
+    for n in NODES:
+        assert got[n] == pytest.approx(rf[n], abs=1e-4)
+
+
+def test_hash_split_deterministic_and_uniform(spark):
+    docs = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(docs).groupBy("split").count().collect()
+    frac = {r["split"]: r["count"] / 10_000 for r in s1}
+    assert frac["train"] == pytest.approx(0.80, abs=0.02)
+    assert frac["val"] == pytest.approx(0.10, abs=0.01)
+    assert frac["test"] == pytest.approx(0.10, abs=0.01)
+    # same input → identical assignment (this is the whole point)
+    a = hash_split(docs).orderBy("doc_id").collect()
+    b = hash_split(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_hash_split_is_shuffle_free(spark):
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_frequent_ngrams_cap_and_tiebreak(spark):
+    from kgp.operators.dedup import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "x y z common tail") for i in range(6)]
+        + [(100 + i, "a b c unique") for i in range(2)],
+        "doc_id long, text string",
+    )
+    rows = frequent_ngrams(docs, n=3, min_docs=5, top=50).collect()
+    grams = [r["gram"] for r in rows]
+    # only the 6-doc grams survive min_docs=5; ordered by gram ASC on
+    # the (n_docs, n_occurrences) tie
+    assert grams == sorted(grams)
+    assert all(r["n_docs"] == 6 for r in rows)
+    assert "x y z" in grams and "a b c" not in grams

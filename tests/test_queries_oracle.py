@@ -99,6 +99,10 @@ def test_driver_window_invariants():
         # demoted late-r3 for events_user_setops; r02-driver-green,
         # S9 stays in-window via _nodes + _counts
         "kg_graph_export_edges",
+        # demoted late-r3 for kg_pagerank / docs_train_split /
+        # docs_boilerplate_ngrams; all three r02-driver-green with
+        # their operator families still in-window
+        "dedup_exact_groups", "text_lang_id", "kg_doc_entity_sets",
         "text_quality_features", "kg_docs_with_entity",
         "tpch_q3ish_shipping_priority", "events_date_roundtrip",
         "events_topn_per_user", "embedding_monthly_centroid",
