@@ -86,6 +86,17 @@ def test_hash_split_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_pagerank_plan_does_not_replay_edge_lineage(spark):
+    """The loop-invariant (edges ⋈ deg) and node tables are cut out of
+    the per-iteration plan; without the materialization the 3-iteration
+    plan over the co-occurrence pipeline carried 51 exchanges."""
+    import __spark_entry__ as m
+
+    df = m.queries()["kg_pagerank"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
 def test_frequent_ngrams_cap_and_tiebreak(spark):
     from kgp.operators.dedup import frequent_ngrams
 
