@@ -1,0 +1,113 @@
+"""spark-submit entry point: pages parquet → cleaned, deduplicated,
+split training corpus. The C4/Gopher/RefinedWeb-style prep recipe
+composed from the engine's first-class operators, resumable per stage.
+
+Cluster usage:
+
+    zip -r kgp.zip kgp
+    spark-submit --py-files kgp.zip jobs/prepare_training_data.py \
+        --input  s3://bucket/pages/   \
+        --output s3://bucket/corpus/  \
+        --min-quality 4000 --langs en --near-dup 0.85
+
+Local / sandbox usage (synthesises the input when --synth N is given):
+
+    python jobs/prepare_training_data.py --synth 2000 --output /tmp/c
+
+Stages (each committed through the lineage ledger; rerunning with the
+same --output skips committed stages): docs → filtered (lang + quality
+gate) → deduped (exact md5 keep-min, then MinHash-LSH near-dup
+pruning) → split (md5-bucket train/val/test, hive-partitioned by
+split). A trainer then reads `split=train` with partition pruning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--synth", type=int, default=0,
+                    help="generate N synthetic pages as input")
+    ap.add_argument("--min-quality", type=int, default=4000,
+                    help="quality_e4 floor (0..10000)")
+    ap.add_argument("--langs", default="en",
+                    help="comma-separated pred_lang allowlist")
+    ap.add_argument("--near-dup", type=float, default=0.85,
+                    help="shingle-Jaccard near-dup prune threshold")
+    ap.add_argument("--repartition", type=int, default=0,
+                    help="url-hash repartition width before extraction")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local-mode cores (ignored under spark-submit)")
+    args = ap.parse_args(argv)
+
+    from kgp.checkpoint import build_training_pipeline
+    from kgp.lineage import run_stats
+    from kgp.session import get_spark
+
+    spark = get_spark("kgp-prepare-training-data", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    pages_path = args.input
+    if args.synth:
+        from kgp.synth import synth_pages
+
+        pages_path = f"{args.output}/_synth_pages_{args.synth}"
+        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+            synth_pages(spark, args.synth).write.mode(
+                "overwrite"
+            ).parquet(pages_path)
+    if not pages_path:
+        ap.error("--input or --synth required")
+
+    # same resume-safety contract as build_kg.py: refuse to resume a
+    # ledger built from a different input
+    marker = os.path.join(args.output, "_input_path")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != pages_path:
+            print(
+                f"ERROR: output dir {args.output} holds committed "
+                f"stages for input '{prev}', but this run reads "
+                f"'{pages_path}'. Use a fresh --output.",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(pages_path)
+
+    runner = build_training_pipeline(
+        spark,
+        pages_path,
+        args.output,
+        run_id=args.run_id,
+        min_quality_e4=args.min_quality,
+        keep_langs=tuple(x for x in args.langs.split(",") if x),
+        near_dup_threshold=args.near_dup,
+        repartition=args.repartition or None,
+    )
+    print(f"run_id={runner.run_id} executed={runner.executed} "
+          f"skipped={runner.skipped}")
+    split = spark.read.parquet(f"{args.output}/split")
+    split.groupBy("split").count().orderBy("split").show()
+    run_stats(spark, args.output).orderBy("stage", "status").show(
+        50, truncate=False
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

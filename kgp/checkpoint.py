@@ -51,9 +51,14 @@ class StageRunner:
         return f"{self.out_dir}/{name}"
 
     def stage(
-        self, name: str, build: Callable[[], DataFrame]
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
-        """Run (or skip) one stage; returns a reader of its output."""
+        """Run (or skip) one stage; returns a reader of its output.
+        ``partition_by`` hive-partitions the stage output (the lineage
+        footer counters read one directory level down already)."""
         path = self.stage_path(name)
         t0 = L.now_s()
         if L.stage_committed(self.spark, self.out_dir, name):
@@ -64,7 +69,10 @@ class StageRunner:
             )
             return self.spark.read.parquet(path)
         try:
-            build().write.mode("overwrite").parquet(path)
+            w = build().write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
         except Exception as e:  # record the failure, then surface it
             L.append_lineage(
                 self.spark, self.out_dir, self.run_id, name,
@@ -135,4 +143,108 @@ def build_kg_pipeline(
         return runner
 
     runner.stage("entities", lambda: build_entities(capped))
+    return runner
+
+
+def build_training_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_id: str | None = None,
+    min_quality_e4: int = 4000,
+    keep_langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.85,
+    repartition: int | None = None,
+    stop_after: str | None = None,
+) -> StageRunner:
+    """LLM training-data prep as resumable stages — the cleaning
+    recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
+    lineage), composed from the first-class operators:
+
+    pages → docs (S4 byte-identical text)
+          → filtered   (lang-ID + quality-score gate, textstats)
+          → deduped    (exact md5 keep-min, then MinHash-LSH near-dup
+                        pruning with the xxhash64 production family —
+                        candidates only, never all-pairs)
+          → split      (reproducible md5-bucket train/val/test,
+                        hive-partitioned by split so a trainer reads
+                        its split with partition pruning, no scan)
+
+    Every stage commits through the lineage ledger (counters from
+    parquet footers); rerunning with the same out_dir skips committed
+    stages. Near-dup pruning keeps the lexicographically-smallest
+    doc_id of each candidate pair that verifies above
+    ``near_dup_threshold`` — the same keep-min policy as exact dedup,
+    so the surviving set is deterministic regardless of partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    from kgp.operators.dedup import near_dup_pairs_minhash
+    from kgp.operators.sampling import hash_split
+    from kgp.operators.segment import extract_docs
+    from kgp.operators.textstats import lang_id, quality_score
+    from kgp.skew import repartition_by_url_hash
+
+    runner = StageRunner(spark, out_dir, run_id)
+
+    def _docs() -> DataFrame:
+        pages = spark.read.parquet(pages_path)
+        if repartition:
+            pages = repartition_by_url_hash(pages, repartition)
+        return extract_docs(pages)
+
+    docs = runner.stage("docs", _docs)
+    if stop_after == "docs":
+        return runner
+
+    def _filtered() -> DataFrame:
+        q = quality_score(docs, text_col="extracted_text")
+        lang = lang_id(docs, text_col="extracted_text").select(
+            "doc_id", "pred_lang"
+        )
+        return (
+            docs.join(q, "doc_id")
+            .join(lang, "doc_id")
+            .filter(
+                (F.col("quality_e4") >= min_quality_e4)
+                & F.col("pred_lang").isin(*keep_langs)
+            )
+        )
+
+    filtered = runner.stage("filtered", _filtered)
+    if stop_after == "filtered":
+        return runner
+
+    def _deduped() -> DataFrame:
+        # exact: one row per md5(text), keeper = min doc_id (one
+        # shuffle, map-side partial agg), re-joined to recover columns
+        keep = (
+            filtered.groupBy(
+                F.md5(F.col("extracted_text")).alias("_h")
+            )
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        exact = filtered.join(keep, "doc_id")
+        # fuzzy: LSH candidates only; drop the larger id of each
+        # verified pair (anti-join on the loser set)
+        pairs = near_dup_pairs_minhash(
+            exact,
+            id_col="doc_id",
+            text_col="extracted_text",
+            threshold=near_dup_threshold,
+            family="fast",
+        )
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return exact.join(losers, "doc_id", "left_anti")
+
+    deduped = runner.stage("deduped", _deduped)
+    if stop_after == "deduped":
+        return runner
+
+    runner.stage(
+        "split",
+        lambda: hash_split(deduped),
+        partition_by=["split"],
+    )
     return runner

@@ -1,0 +1,96 @@
+"""End-to-end training-data prep pipeline: cleaning semantics,
+dedup keep-min policy, split partitioning, and resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kgp.checkpoint import build_training_pipeline
+from kgp.synth import synth_pages
+
+N = 400
+
+
+def _pages_path(spark, tmp_path):
+    p = str(tmp_path / "pages")
+    synth_pages(spark, N).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path):
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus")
+    r = build_training_pipeline(
+        spark, pages, out, min_quality_e4=3000, near_dup_threshold=0.5
+    )
+    assert r.executed == ["docs", "filtered", "deduped", "split"]
+
+    split = spark.read.parquet(f"{out}/split")
+    n_out = split.count()
+    assert 0 < n_out <= N
+
+    # split column is hive-partitioned and complete
+    vals = {r["split"] for r in split.select("split").distinct().collect()}
+    assert vals <= {"train", "val", "test"} and "train" in vals
+    assert os.path.isdir(f"{out}/split/split=train")
+
+    # cleaning gate: every surviving doc passes quality + lang
+    assert split.filter(F.col("quality_e4") < 3000).count() == 0
+    assert split.filter(F.col("pred_lang") != "en").count() == 0
+
+    # exact dedup: texts are unique
+    assert (
+        split.select(F.md5("extracted_text")).distinct().count() == n_out
+    )
+
+    # near-dup prune actually removed something: synth plants a
+    # perturbed copy every 37th page, and keep-min keeps one per pair
+    filtered = spark.read.parquet(f"{out}/filtered")
+    assert n_out < filtered.count()
+
+
+def test_training_pipeline_resume_skips_committed(spark, tmp_path):
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus")
+    r1 = build_training_pipeline(
+        spark, pages, out, stop_after="filtered", min_quality_e4=3000
+    )
+    assert r1.executed == ["docs", "filtered"]
+
+    r2 = build_training_pipeline(spark, pages, out, min_quality_e4=3000)
+    assert r2.skipped == ["docs", "filtered"]
+    assert r2.executed == ["deduped", "split"]
+
+    # third run: everything committed, nothing recomputed, output stable
+    before = (
+        spark.read.parquet(f"{out}/split").orderBy("doc_id").collect()
+    )
+    r3 = build_training_pipeline(spark, pages, out, min_quality_e4=3000)
+    assert r3.executed == []
+    after = (
+        spark.read.parquet(f"{out}/split").orderBy("doc_id").collect()
+    )
+    assert before == after
+
+
+def test_training_cli_runs_and_is_idempotent(tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_out")
+    cmd = [
+        sys.executable, "jobs/prepare_training_data.py",
+        "--synth", "200", "--output", out, "--cores", "4",
+        "--min-quality", "3000",
+    ]
+    env = dict(os.environ)
+    r1 = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, timeout=600
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "executed=['docs', 'filtered', 'deduped', 'split']" in r1.stdout
+    r2 = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, timeout=600
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "executed=[]" in r2.stdout
