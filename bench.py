@@ -154,6 +154,17 @@ def main() -> None:
     )
     minhash_fast_sec = round(best, 3)
 
+    # iterative graph kernel (integer PageRank, 3 iterations over the
+    # entity co-occurrence graph) — side metric, keeps headline totals
+    # round-comparable
+    pr_fn = all_queries()["kg_pagerank"]
+    best, _ = timed(
+        "kg_pagerank",
+        lambda: pr_fn(spark, sf_dir).count(),
+        record=False,
+    )
+    pagerank_sec = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -166,6 +177,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "minhash_fast_sec": minhash_fast_sec,
+                "pagerank_sec": pagerank_sec,
                 "kg_docs_per_sec": round(n_pages / kg_sec, 1),
                 "kg_docs_per_sec_fused": round(n_pages / fused_sec, 1),
                 "kg_pages": n_pages,
