@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("kgp-build-kg", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
+    from kgp import fsutil
+
     pages_path = args.input
     if args.synth:
         from kgp.synth import synth_pages
@@ -58,8 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         # cache path keyed by N: a resumed --output with a different
         # --synth must regenerate, not silently reuse the stale count
         pages_path = f"{args.output}/_synth_pages_{args.synth}"
-        import os
-        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        if not fsutil.exists(spark, f"{pages_path}/_SUCCESS"):
             synth_pages(spark, args.synth).write.mode(
                 "overwrite"
             ).parquet(pages_path)
@@ -70,28 +71,24 @@ def main(argv: list[str] | None = None) -> int:
     # committed stages from a PREVIOUS input would be skipped even
     # though their outputs reflect the old input. Record the input
     # path and refuse a mismatched resume (fail loudly; a silently
-    # stale KG with exit code 0 is the worst outcome).
-    import os as _os
-
-    marker = _os.path.join(args.output, "_input_path")
-    if _os.path.exists(marker):
-        with open(marker) as f:
-            prev = f.read().strip()
-        if prev != pages_path:
-            print(
-                f"ERROR: output dir {args.output} holds committed "
-                f"stages for input '{prev}', but this run reads "
-                f"'{pages_path}'. Use a fresh --output (or delete the "
-                "old one) — resuming would keep stages built from the "
-                "previous input.",
-                file=sys.stderr,
-            )
-            spark.stop()
-            return 2
-    else:
-        _os.makedirs(args.output, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write(pages_path)
+    # stale KG with exit code 0 is the worst outcome). Marker I/O
+    # goes through the Hadoop FS so it works on hdfs://s3a:// outputs
+    # (--repartition changes layout only, not stage content, so it is
+    # deliberately NOT part of the contract).
+    prev = fsutil.resume_marker_guard(
+        spark, f"{args.output}/_input_path", pages_path
+    )
+    if prev is not None:
+        print(
+            f"ERROR: output dir {args.output} holds committed "
+            f"stages for input '{prev}', but this run reads "
+            f"'{pages_path}'. Use a fresh --output (or delete the "
+            "old one) — resuming would keep stages built from the "
+            "previous input.",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 2
 
     runner = build_kg_pipeline(
         spark,

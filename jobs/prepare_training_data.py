@@ -56,37 +56,44 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("kgp-prepare-training-data", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
+    from kgp import fsutil
+
     pages_path = args.input
     if args.synth:
         from kgp.synth import synth_pages
 
         pages_path = f"{args.output}/_synth_pages_{args.synth}"
-        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        if not fsutil.exists(spark, f"{pages_path}/_SUCCESS"):
             synth_pages(spark, args.synth).write.mode(
                 "overwrite"
             ).parquet(pages_path)
     if not pages_path:
         ap.error("--input or --synth required")
 
-    # same resume-safety contract as build_kg.py: refuse to resume a
-    # ledger built from a different input
-    marker = os.path.join(args.output, "_input_path")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            prev = f.read().strip()
-        if prev != pages_path:
-            print(
-                f"ERROR: output dir {args.output} holds committed "
-                f"stages for input '{prev}', but this run reads "
-                f"'{pages_path}'. Use a fresh --output.",
-                file=sys.stderr,
-            )
-            spark.stop()
-            return 2
-    else:
-        os.makedirs(args.output, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write(pages_path)
+    # same resume-safety contract as build_kg.py, extended: the
+    # cleaning flags CHANGE stage content (unlike build_kg's
+    # --repartition), so a resumed ledger must also match them —
+    # otherwise committed 'filtered'/'deduped' stages built under
+    # different thresholds would be silently reused. Marker I/O goes
+    # through the Hadoop FS so it works on hdfs://s3a:// outputs.
+    contract = (
+        f"{pages_path}\n"
+        f"min_quality={args.min_quality} langs={args.langs} "
+        f"near_dup={args.near_dup}"
+    )
+    prev = fsutil.resume_marker_guard(
+        spark, f"{args.output}/_run_contract", contract
+    )
+    if prev is not None:
+        print(
+            f"ERROR: output dir {args.output} holds committed stages "
+            f"for\n  {prev!r}\nbut this run is\n  {contract!r}.\n"
+            "Use a fresh --output (or delete the old one) — resuming "
+            "would keep stages built under the previous contract.",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 2
 
     runner = build_training_pipeline(
         spark,

@@ -1758,7 +1758,6 @@ def q_kg_all_nodes(spark, sf_dir):
 # corpus boilerplate mining
 # ---------------------------------------------------------------------------
 
-from kgp.constants import MAX_ENTITIES_PER_DOC as _MAXE
 from kgp.operators.graph import pagerank_sql
 
 _DE_CTE = (
@@ -1766,7 +1765,7 @@ _DE_CTE = (
     + f""",
 de AS (SELECT DISTINCT doc_id,
               'entity:' || replace(lower(surface), ' ', '_') AS eid
-       FROM capped WHERE rnk <= {_MAXE})"""
+       FROM capped WHERE rnk <= {MAX_ENTITIES_PER_DOC})"""
 )
 
 

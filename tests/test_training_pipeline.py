@@ -77,6 +77,7 @@ def test_training_cli_runs_and_is_idempotent(tmp_path):
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = str(tmp_path / "cli_out")
     cmd = [
         sys.executable, "jobs/prepare_training_data.py",
@@ -85,12 +86,23 @@ def test_training_cli_runs_and_is_idempotent(tmp_path):
     ]
     env = dict(os.environ)
     r1 = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, timeout=600
+        cmd, capture_output=True, text=True, env=env, timeout=600,
+        cwd=repo,
     )
     assert r1.returncode == 0, r1.stderr[-2000:]
     assert "executed=['docs', 'filtered', 'deduped', 'split']" in r1.stdout
     r2 = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, timeout=600
+        cmd, capture_output=True, text=True, env=env, timeout=600,
+        cwd=repo,
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "executed=[]" in r2.stdout
+
+    # a rerun with DIFFERENT cleaning parameters must refuse to resume
+    # (committed stages were built under the old contract)
+    r3 = subprocess.run(
+        cmd[:-1] + ["8000"], capture_output=True, text=True, env=env,
+        timeout=600, cwd=repo,
+    )
+    assert r3.returncode == 2, (r3.returncode, r3.stderr[-1000:])
+    assert "previous contract" in r3.stderr
