@@ -37,12 +37,45 @@ PR_INIT = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 PR_BASE = 150_000    # (1 - damping) * scale == 0.15 * 1e6
 
 
+def _pagerank_local(spark, edge_rows, node_ids, iters, id_type):
+    """The identical fixed-point recurrence on the driver for SMALL
+    graphs (same justification as the union-find dispatch in
+    kgp/operators/canon.py: the data provably fits in one process, and
+    the iterative loop's per-round action overhead dwarfs it).
+    Semantics match the distributed loop exactly: out-degree counts
+    ALL out-edges of a src (even to targets outside `node_ids`), while
+    contributions flow only between ids present in `node_ids` —
+    equality asserted in tests/test_graph.py."""
+    out: dict = {}
+    for s, _ in edge_rows:
+        out[s] = out.get(s, 0) + 1
+    r = {n: PR_INIT for n in node_ids}
+    for _ in range(iters):
+        nxt = {n: PR_BASE for n in node_ids}
+        for s, d in edge_rows:
+            if s in r and d in nxt:
+                nxt[d] += (85 * r[s]) // (100 * out[s])
+        r = nxt
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, r[n]) for n in sorted(node_ids)], schema
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     iters: int = 3,
     checkpoint_every: int | None = None,
     materialize: bool = True,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Deterministic integer PageRank over directed ``edges(src, dst)``.
 
@@ -51,6 +84,12 @@ def pagerank_int(
     defaults to the endpoints of ``edges``; pass it explicitly to keep
     isolated vertices (they hold rank PR_BASE after the first
     iteration). Returns ``(id, rank)`` with rank a scaled BIGINT.
+
+    Size dispatch (the canon.py CC pattern): when BOTH the edge and
+    node tables fit under ``small_graph_threshold`` rows, the
+    recurrence runs on the driver in one bounded job per table — the
+    probe `limit(k+1).collect()` doubles as the fetch. Pass
+    ``small_graph_threshold=0`` to force the distributed loop.
 
     ``materialize`` (default) eagerly localCheckpoints the
     loop-invariant degree-annotated edge table and the node table
@@ -62,6 +101,26 @@ def pagerank_int(
     kgp.catalog's bucketed layout (bucket by src) so the per-iteration
     rank join needs no edge-side exchange at all.
     """
+    if small_graph_threshold:
+        k = small_graph_threshold
+        es = edges.select("src", "dst").limit(k + 1).collect()
+        if len(es) <= k:
+            erows = [(r[0], r[1]) for r in es]
+            id_type = edges.schema["src"].dataType
+            if nodes is None:
+                ns = sorted(
+                    {a for a, _ in erows} | {b for _, b in erows}
+                )
+                return _pagerank_local(
+                    edges.sparkSession, erows, ns, iters, id_type
+                )
+            nrows = nodes.select("id").limit(k + 1).collect()
+            if len(nrows) <= k:
+                ns = sorted(r[0] for r in nrows)
+                return _pagerank_local(
+                    edges.sparkSession, erows, ns, iters, id_type
+                )
+            # edges small but node table isn't: distributed path
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))

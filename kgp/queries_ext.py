@@ -1769,15 +1769,15 @@ de AS (SELECT DISTINCT doc_id,
 )
 
 
-@register("kg_pagerank", pagerank_sql(_DE_CTE, iters=3))
-def q_kg_pagerank(spark, sf_dir):
-    """Entity importance over the co-occurrence graph: deterministic
-    integer PageRank, 3 iterations (kgp.operators.graph — iterative
-    DataFrame joins, GraphFrames-style; the DuckDB twin unrolls the
-    same recurrence). The reference holds its graph in Gremlin and
-    ships no global analytics; this is the natural downstream query a
-    KG consumer runs, implemented engine-side like the IVF ANN path."""
-    from kgp.operators.graph import pagerank_int
+def cooccurrence_graph(spark, sf_dir):
+    """(edges, nodes) of the entity co-occurrence graph over the
+    `documents` KG — distinct directed pairs both ways + all entities
+    (isolated ones included). The doc→entity incidence `de` is
+    materialized once (localCheckpoint): edges AND nodes both fan out
+    from it, and the consumer (pagerank) actions each side separately
+    — without the cut the scan→window→distinct prefix runs twice. At
+    scale this is the natural stage boundary (the incidence table is
+    the KG's smallest projection)."""
     from kgp.operators.triples import normalize_entity_id
     from kgp.queries import _doc_capped
 
@@ -1787,6 +1787,7 @@ def q_kg_pagerank(spark, sf_dir):
             "doc_id", normalize_entity_id(F.col("surface")).alias("eid")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = de.select("doc_id", F.col("eid").alias("src"))
     b = de.select("doc_id", F.col("eid").alias("dst"))
@@ -1797,6 +1798,20 @@ def q_kg_pagerank(spark, sf_dir):
         .distinct()
     )
     nodes = de.select(F.col("eid").alias("id")).distinct()
+    return edges, nodes
+
+
+@register("kg_pagerank", pagerank_sql(_DE_CTE, iters=3))
+def q_kg_pagerank(spark, sf_dir):
+    """Entity importance over the co-occurrence graph: deterministic
+    integer PageRank, 3 iterations (kgp.operators.graph — iterative
+    DataFrame joins, GraphFrames-style; the DuckDB twin unrolls the
+    same recurrence). The reference holds its graph in Gremlin and
+    ships no global analytics; this is the natural downstream query a
+    KG consumer runs, implemented engine-side like the IVF ANN path."""
+    from kgp.operators.graph import pagerank_int
+
+    edges, nodes = cooccurrence_graph(spark, sf_dir)
     pr = pagerank_int(edges, nodes=nodes, iters=3)
     return pr.select(
         F.col("id").alias("entity_id"), F.col("rank").alias("pagerank")

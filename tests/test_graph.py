@@ -89,12 +89,36 @@ def test_hash_split_is_shuffle_free(spark):
 def test_pagerank_plan_does_not_replay_edge_lineage(spark):
     """The loop-invariant (edges ⋈ deg) and node tables are cut out of
     the per-iteration plan; without the materialization the 3-iteration
-    plan over the co-occurrence pipeline carried 51 exchanges."""
-    import __spark_entry__ as m
+    plan over the co-occurrence pipeline carried 51 exchanges.
+    (small_graph_threshold=0 forces the DISTRIBUTED path — the query
+    itself dispatches this tiny graph to the driver.)"""
+    from kgp.queries_ext import cooccurrence_graph
 
-    df = m.queries()["kg_pagerank"](spark, "/root/testdata/sf0.01")
+    edges, nodes = cooccurrence_graph(spark, "/root/testdata/sf0.01")
+    df = pagerank_int(
+        edges, nodes=nodes, iters=3, small_graph_threshold=0
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
+def test_pagerank_small_dispatch_matches_distributed(spark):
+    """The driver-side recurrence is value-identical to the
+    distributed loop on the same graph (the CC parity contract)."""
+    from kgp.queries_ext import cooccurrence_graph
+
+    edges, nodes = cooccurrence_graph(spark, "/root/testdata/sf0.01")
+    local = {
+        (r["id"], r["rank"])
+        for r in pagerank_int(edges, nodes=nodes, iters=3).collect()
+    }
+    dist = {
+        (r["id"], r["rank"])
+        for r in pagerank_int(
+            edges, nodes=nodes, iters=3, small_graph_threshold=0
+        ).collect()
+    }
+    assert local == dist and len(local) > 0
 
 
 def test_frequent_ngrams_cap_and_tiebreak(spark):
