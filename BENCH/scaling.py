@@ -4,9 +4,12 @@ on the same input).
 
 Runs the flagship FUSED physical plan (and the composable operator
 chain for reference) over the SAME materialized pages parquet at two
-parallelism levels, each in a FRESH JVM (subprocess) so executor
-thread pools, codegen caches, and shuffle state don't leak between
-runs. Noise control (the sandbox microVM's effective CPU fluctuates
+parallelism levels, each leg a FRESH JVM launched exactly as the north
+rule prescribes — ``spark-submit --py-files kgp.zip leg.py`` from a
+directory OUTSIDE the repo, so the package provably ships through
+--py-files (falls back to ``python -c`` only if spark-submit is
+absent). Fresh JVMs mean executor thread pools, codegen caches, and
+shuffle state don't leak between runs. Noise control (the sandbox microVM's effective CPU fluctuates
 ~3x with host neighbors): untimed warmup, min-of-3 per subprocess,
 and INTERLEAVED legs across 2 outer rounds with per-leg minima.
 Reports docs/sec at both levels and efficiency = (T_N/T_4N)/(4N/N).
@@ -108,14 +111,43 @@ def main() -> None:
     # core-seconds, i.e. the least-contaminated window. All rounds are
     # recorded for transparency. (Each subprocess already takes
     # min-of-3 internally.)
+    # Package + launch exactly as the north rule prescribes: each leg
+    # is `spark-submit --py-files kgp.zip leg.py`, run from a scratch
+    # dir so `import kgp` can only resolve from the shipped zip.
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="kgp_scaling_")
+    zip_path = shutil.make_archive(
+        os.path.join(work, "kgp"), "zip", root_dir=repo, base_dir="kgp"
+    )
+    runner_path = os.path.join(work, "scaling_leg.py")
+    with open(runner_path, "w") as f:
+        f.write(RUNNER)
+    spark_submit = shutil.which("spark-submit")
+
+    def leg_cmd(cores: int) -> tuple[list[str], str]:
+        if spark_submit:
+            return [
+                spark_submit,
+                "--master", f"local[{cores}]",
+                "--driver-memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "--py-files", zip_path,
+                runner_path, str(cores), pages_path,
+            ], work
+        # fallback (no spark-submit on PATH): in-process launcher,
+        # cwd = repo so `import kgp` resolves from the source tree
+        return [
+            sys.executable, "-c", RUNNER, str(cores), pages_path
+        ], repo
+
     rounds = []
     for _round in range(3):
         legs = {}
         for cores in (8, 32):
-            # -c keeps sys.path[0] = cwd (= repo): `import kgp` resolves
+            cmd, cwd = leg_cmd(cores)
             out = subprocess.run(
-                [sys.executable, "-c", RUNNER, str(cores), pages_path],
-                check=True, cwd=repo, capture_output=True, text=True,
+                cmd, check=True, cwd=cwd, capture_output=True, text=True,
             )
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
@@ -161,9 +193,13 @@ def main() -> None:
     md = f"""# BENCH/BASELINE.md — scaling evidence
 
 North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
-executors. No real cluster exists in this sandbox, so (per the driver
-instruction) the SAME job runs over the SAME materialized input at two
-parallelism levels in fresh JVMs: `local[8]` (N) vs `local[32]` (4N).
+executors, run via spark-submit --py-files. No real cluster exists in
+this sandbox, so (per the driver instruction) the SAME job runs over
+the SAME materialized input at two parallelism levels — `local[8]` (N)
+vs `local[32]` (4N) — each leg a fresh JVM launched with
+`spark-submit --master local[k] --py-files kgp.zip leg.py` from a
+scratch directory, so the package provably ships through --py-files
+exactly as it would to a cluster.
 
 Job: the flagship FUSED physical plan (kgp/plans/pipeline.py, the
 production plan per PLANS.md) — pages({n_pages}) → in-row
