@@ -17,8 +17,10 @@ Local / sandbox usage (synthesises the input when --synth N is given):
 Stages (each committed through the lineage ledger; rerunning with the
 same --output skips committed stages): docs → filtered (lang + quality
 gate) → deduped (exact md5 keep-min, then MinHash-LSH near-dup
-pruning) → split (md5-bucket train/val/test, hive-partitioned by
-split). A trainer then reads `split=train` with partition pruning.
+pruning) → decontaminated (only with --benchmark: drop docs sharing
+any 3-token shingle with the eval set) → split (md5-bucket
+train/val/test, hive-partitioned by split). A trainer then reads
+`split=train` with partition pruning.
 """
 
 from __future__ import annotations
@@ -42,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated pred_lang allowlist")
     ap.add_argument("--near-dup", type=float, default=0.85,
                     help="shingle-Jaccard near-dup prune threshold")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet (doc_id + text); when given,"
+                         " docs sharing any 3-token shingle with it are"
+                         " dropped before the split (decontamination)")
     ap.add_argument("--repartition", type=int, default=0,
                     help="url-hash repartition width before extraction")
     ap.add_argument("--run-id", default=None)
@@ -79,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     contract = (
         f"{pages_path}\n"
         f"min_quality={args.min_quality} langs={args.langs} "
-        f"near_dup={args.near_dup}"
+        f"near_dup={args.near_dup} benchmark={args.benchmark or ''}"
     )
     prev = fsutil.resume_marker_guard(
         spark, f"{args.output}/_run_contract", contract
@@ -104,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_langs=tuple(x for x in args.langs.split(",") if x),
         near_dup_threshold=args.near_dup,
         repartition=args.repartition or None,
+        benchmark_path=args.benchmark,
     )
     print(f"run_id={runner.run_id} executed={runner.executed} "
           f"skipped={runner.skipped}")

@@ -156,6 +156,7 @@ def build_training_pipeline(
     near_dup_threshold: float = 0.85,
     repartition: int | None = None,
     stop_after: str | None = None,
+    benchmark_path: str | None = None,
 ) -> StageRunner:
     """LLM training-data prep as resumable stages — the cleaning
     recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
@@ -166,6 +167,11 @@ def build_training_pipeline(
           → deduped    (exact md5 keep-min, then MinHash-LSH near-dup
                         pruning with the xxhash64 production family —
                         candidates only, never all-pairs)
+          → decontaminated (only when ``benchmark_path`` is given:
+                        drop docs sharing any 3-token shingle with the
+                        eval set — GPT-3 appendix-C policy; eval gram
+                        set broadcast, kgp.operators.dedup
+                        .ngram_contamination)
           → split      (reproducible md5-bucket train/val/test,
                         hive-partitioned by split so a trainer reads
                         its split with partition pruning, no scan)
@@ -242,9 +248,35 @@ def build_training_pipeline(
     if stop_after == "deduped":
         return runner
 
+    final = deduped
+    if benchmark_path is not None:
+        from kgp.operators.dedup import ngram_contamination
+
+        def _decontaminated() -> DataFrame:
+            bench = spark.read.parquet(benchmark_path)
+            bench_text = (
+                "extracted_text"
+                if "extracted_text" in bench.columns
+                else "text"
+            )
+            flagged = ngram_contamination(
+                deduped,
+                bench,
+                id_col="doc_id",
+                text_col="extracted_text",
+                bench_text_col=bench_text,
+            )
+            return deduped.join(
+                flagged.select("doc_id"), "doc_id", "left_anti"
+            )
+
+        final = runner.stage("decontaminated", _decontaminated)
+        if stop_after == "decontaminated":
+            return runner
+
     runner.stage(
         "split",
-        lambda: hash_split(deduped),
+        lambda: hash_split(final),
         partition_by=["split"],
     )
     return runner

@@ -301,3 +301,43 @@ def frequent_ngrams(
         )
         .limit(top)
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    n-token shingle with a held-out evaluation set (the GPT-3 appendix
+    C / PaLM policy — exact n-gram overlap against eval sets, here with
+    the corpus shingle size so the whole dedup family shares one gram
+    definition, kgp.operators.linking.shingles_col).
+
+    Output: (id, n_hits) for contaminated docs only, n_hits = number of
+    distinct overlapping shingles.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of docs, the corpus is billions) — its distinct gram set
+    broadcasts, so the training stream never shuffles for the join; the
+    per-doc hit count partially aggregates map-side. At 100 TB this is
+    one broadcast + one count shuffle of only the contaminated rows.
+    """
+    from kgp.operators.linking import shingles_col
+
+    g = train.select(
+        id_col, F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    bg = bench.select(
+        F.explode(
+            shingles_col(F.col(bench_text_col or text_col), n)
+        ).alias("gram")
+    ).distinct()
+    return (
+        g.join(F.broadcast(bg), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

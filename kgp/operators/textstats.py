@@ -111,6 +111,66 @@ def quality_score(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition features over word
+    2-grams: gram count, distinct-gram count, duplicate-gram fraction
+    (×10⁴ integer), and the multiplicity of the most repeated gram.
+
+    The standard "repetition removal" quality rules (Rae et al.,
+    Gopher §A1.1: drop docs whose duplicate-n-gram fraction exceeds a
+    threshold) as ONE narrow zero-shuffle projection: grams are built
+    per row with `transform(sequence(...))`, the top-gram multiplicity
+    is the longest equal-run in the sorted gram array via an
+    `aggregate` fold (O(L log L) per doc, no explode, no groupBy) —
+    at 100 TB this pipelines into the scan with no exchange at all,
+    unlike the canonical explode + two-level groupBy which shuffles
+    every gram instance. Docs with fewer than 2 tokens carry no gram
+    and are filtered (both engines).
+
+    Ratio ships as ×10⁴ integer-division (`div` ≡ DuckDB `//`), never
+    round() — see CLAUDE.md hard rules.
+    """
+    out = (
+        docs.select(
+            id_col, F.split(F.col(text_col), " ", -1).alias("_w")
+        )
+        .where(F.size("_w") >= 2)
+        .select(
+            id_col,
+            F.expr(
+                "transform(sequence(1, size(_w) - 1),"
+                " i -> concat(element_at(_w, i), ' ',"
+                " element_at(_w, i + 1)))"
+            ).alias("_g"),
+        )
+    )
+    run_best = (
+        "aggregate(array_sort(_g),"
+        " named_struct('prev', '', 'run', 0L, 'best', 0L),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x = a.prev, a.run + 1L, 1L),"
+        "   'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),"
+        " a -> a.best)"
+    )
+    return out.select(
+        id_col,
+        F.size("_g").cast("long").alias("n_grams2"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct2"),
+        F.expr(run_best).alias("top_gram_count"),
+    ).select(
+        id_col,
+        "n_grams2",
+        "n_distinct2",
+        F.expr(
+            "(n_grams2 - n_distinct2) * 10000 div n_grams2"
+        ).alias("dup_ratio_e4"),
+        "top_gram_count",
+    )
+
+
 def lang_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -103,16 +103,20 @@ DRIVER_WINDOW: list[str] = [
     "pages_near_dup_pairs",
     "pages_html_media_features",
     # dedup_exact_groups demoted (r02-green; dedup family stays
-    # in-window via simhash/minhash/embedding) for kg_pagerank:
-    "dedup_simhash_groups",
+    # in-window via simhash/minhash/embedding) for kg_pagerank;
+    # dedup_simhash_groups demoted (r01+r02 green) to admit the
+    # decontamination entry:
+    "docs_decontamination",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_pairs",
     "kg_entity_cooccurrence",
     "kg_canonical_entities",
     "kg_entity_doc_counts_salted",
     "svo_pattern_triples",
-    "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce (r01+r02 green)
-    "ann_topk_lsh",  # and ann_topk_ivf cover T1 in-window
+    "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce + ann_topk_lsh
+    # (both r01+r02 green) demoted, T1 covered in-window by ivf; the
+    # lsh slot admits the transitive fuzzy-dedup clusters entry:
+    "dedup_minhash_clusters",
     "ann_topk_ivf",
     # text_lang_id demoted (r02-green; textstats family stays
     # in-window via text_token_counts/text_quality_score) for
@@ -124,7 +128,10 @@ DRIVER_WINDOW: list[str] = [
     # kg_graph_export_edges demoted (r02-green; S9 stays in-window via
     # _nodes + _counts) to admit the set-ops entry:
     "events_user_setops",
-    "customers_without_big_orders",
+    # customers_without_big_orders demoted (r01+r02 green; anti-join
+    # semantics stay in-window via events_user_setops EXCEPT) to admit
+    # the Gopher repetition-rules entry:
+    "docs_repetition_stats",
     "source_strategy_dispatch",
     "events_value_percentiles_exact",
     "events_asof_last_purchase",

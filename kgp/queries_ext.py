@@ -145,6 +145,49 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql(
+        "SELECT doc_id AS id, text FROM documents", threshold=0.5
+    )}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, lab) AS (
+    SELECT a, a FROM e
+  UNION
+    SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.lab
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_root
+FROM reach GROUP BY 1
+""",
+)
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """Production fuzzy-dedup semantics: verified near-dup PAIRS are
+    only half the job — transitive closure turns them into clusters
+    (a-b, b-c ⇒ {a,b,c} keep one). Spark runs the X5 connected-
+    components operator (hash-min + pointer doubling, small-graph
+    union-find dispatch) over the pair graph; doc ids ride as
+    zero-padded strings so the CC min-label order is numeric. The
+    DuckDB twin computes the same fixpoint with a recursive CTE —
+    two different algorithms, one answer. Output: (doc_id,
+    cluster_root = min doc_id of the component); keepers are the
+    rows where doc_id = cluster_root."""
+    from kgp.operators.canon import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.near_dup_pairs_minhash(docs, threshold=0.5)
+    e = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 20, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 20, "0").alias("dst"),
+    )
+    cc = connected_components(e)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_root"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard_pairs",
     f"""
 WITH {_SHINGLE_CTE}
@@ -595,6 +638,35 @@ FROM r WHERE rn = 1
 def q_text_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return T.lang_id(docs)
+
+
+@register(
+    "docs_repetition_stats",
+    """
+WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+               AS gram
+      FROM wt WHERE len(w) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams2,
+       CAST(count(*) AS BIGINT) AS n_distinct2,
+       (CAST(sum(cnt) AS BIGINT) - count(*)) * 10000
+         // CAST(sum(cnt) AS BIGINT) AS dup_ratio_e4,
+       CAST(max(cnt) AS BIGINT) AS top_gram_count
+FROM c GROUP BY 1
+""",
+)
+def q_docs_repetition_stats(spark, sf_dir):
+    """Gopher repetition rules (intra-doc duplicate-2-gram fraction +
+    top-gram multiplicity, kgp.operators.textstats.repetition_stats).
+    The Spark side is a zero-shuffle per-row fold over the sorted gram
+    array; the oracle computes the same values the canonical way
+    (explode + two-level GROUP BY) — agreeing answers from two
+    different algorithms is the point of the twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.repetition_stats(docs)
 
 
 @register(
@@ -1873,3 +1945,31 @@ def q_docs_boilerplate_ngrams(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return frequent_ngrams(docs, n=3, min_docs=5, top=50)
+
+
+@register(
+    "docs_decontamination",
+    f"""
+WITH {_SHINGLE_CTE},
+g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g JOIN bg USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1
+""",
+)
+def q_docs_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C policy): training
+    docs sharing any 3-token shingle with the held-out eval slice
+    (doc_id ≡ 0 mod 97 — deterministic synthetic benchmark), with the
+    distinct-overlap count. Spark broadcasts the small eval gram set
+    (kgp.operators.dedup.ngram_contamination); the oracle runs the
+    same overlap as a plain SQL join."""
+    from kgp.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )

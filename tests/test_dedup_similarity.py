@@ -344,3 +344,65 @@ def test_compact_refuses_while_stream_active(spark, tmp_path):
             compact_triples_sink(spark, str(tmp_path / "sink"))
     finally:
         q.stop()
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition features against hand-computed values:
+    'a b a b a' → grams [a b, b a, a b, b a]: 4 grams, 2 distinct,
+    dup ratio 0.5 → 5000, top multiplicity 2. A no-repeat doc scores
+    0; a single-token doc carries no gram and is dropped."""
+    from kgp.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "p q r s"), (3, "solo"),
+         (4, "x x x x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1] == {"doc_id": 1, "n_grams2": 4, "n_distinct2": 2,
+                       "dup_ratio_e4": 5000, "top_gram_count": 2}
+    assert rows[2]["dup_ratio_e4"] == 0
+    assert rows[2]["top_gram_count"] == 1
+    # 'x x x x' → [x x, x x, x x]: all duplicates, run of 3
+    assert rows[4] == {"doc_id": 4, "n_grams2": 3, "n_distinct2": 1,
+                       "dup_ratio_e4": 6666, "top_gram_count": 3}
+
+
+def test_ngram_contamination_semantics(spark):
+    """Decontamination flags exactly the training docs sharing a
+    3-token shingle with the benchmark, counting distinct overlaps;
+    clean docs are absent."""
+    from kgp.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w"), (3, "c d e f g")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "b c d e")], "doc_id long, text string",
+    )
+    # bench grams: {b c d, c d e}; doc1 hits {b c d}, doc3 hits
+    # {c d e}; doc2 disjoint
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in ngram_contamination(train, bench).collect()}
+    assert hits == {1: 1, 3: 1}
+
+
+def test_ngram_contamination_broadcasts_bench_side(spark):
+    """The eval gram set must broadcast — the training stream never
+    shuffles for the overlap join (100 TB shape)."""
+    from kgp.operators.dedup import ngram_contamination
+
+    train = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "concat('tok', id, ' a b c d e') AS text"
+    )
+    bench = spark.range(0, 2).selectExpr(
+        "id AS doc_id", "'a b c' AS text"
+    )
+    plan = (
+        ngram_contamination(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

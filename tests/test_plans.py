@@ -87,6 +87,22 @@ def test_minhash_signature_stays_hash_aggregate(spark):
     assert "HashAggregate" in plan, plan
 
 
+def test_repetition_stats_is_shuffle_free(spark, tmp_path):
+    """Gopher repetition features are a per-row fold (sorted gram
+    array), NOT an explode+groupBy — the plan must contain no Exchange
+    at all, so the operator pipelines into the scan at any scale."""
+    import pandas as pd
+
+    from kgp.operators.textstats import repetition_stats
+
+    p = str(tmp_path / "docs")
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b a b c", "x y"]}
+    ).to_parquet(p + ".parquet")
+    plan = _plan(repetition_stats(spark.read.parquet(p + ".parquet")))
+    assert "Exchange" not in plan, plan
+
+
 def test_triples_build_has_no_extra_shuffles(spark):
     """pages→triples: shuffles only where semantics require them (the
     per-doc cap window + the edge dedup) — ≤ 2 hash exchanges."""

@@ -108,6 +108,13 @@ def test_driver_window_invariants():
         "events_topn_per_user", "embedding_monthly_centroid",
         "ann_topk_bruteforce",
         "events_approx_distinct_users", "events_value_percentiles",
+        # demoted late-r3 for docs_repetition_stats /
+        # docs_decontamination / dedup_minhash_clusters; all three
+        # r01+r02-driver-green (anti-join shape in-window via
+        # events_user_setops, dedup family via minhash + embedding,
+        # T1 via ann_topk_ivf)
+        "customers_without_big_orders", "dedup_simhash_groups",
+        "ann_topk_lsh",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (

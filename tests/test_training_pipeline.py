@@ -106,3 +106,54 @@ def test_training_cli_runs_and_is_idempotent(tmp_path):
     )
     assert r3.returncode == 2, (r3.returncode, r3.stderr[-1000:])
     assert "previous contract" in r3.stderr
+
+
+def test_training_pipeline_decontaminates_against_benchmark(
+    spark, tmp_path
+):
+    """With a benchmark parquet, the pipeline inserts the
+    decontaminated stage and drops every doc sharing a 3-token shingle
+    with the eval set — here the benchmark IS a slice of the corpus
+    docs, so those docs (and their shingle-mates) must vanish from the
+    split while clean docs survive."""
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus_decon")
+
+    # learn which docs survive the clean run, then use 5 of them as
+    # the eval set — guarantees decontamination (not the quality gate)
+    # is what removes them
+    out0 = str(tmp_path / "corpus_clean")
+    build_training_pipeline(
+        spark, pages, out0, min_quality_e4=3000, near_dup_threshold=0.5
+    )
+    bench_path = str(tmp_path / "bench")
+    bench = (
+        spark.read.parquet(f"{out0}/deduped")
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
+        .limit(5)
+    )
+    bench.write.mode("overwrite").parquet(bench_path)
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert len(bench_ids) == 5
+
+    r = build_training_pipeline(
+        spark, pages, out, min_quality_e4=3000,
+        near_dup_threshold=0.5, benchmark_path=bench_path,
+    )
+    assert r.executed == [
+        "docs", "filtered", "deduped", "decontaminated", "split",
+    ]
+    split = spark.read.parquet(f"{out}/split")
+    out_ids = {r["doc_id"] for r in split.select("doc_id").collect()}
+    # every benchmark doc is gone (it shares ALL its shingles with
+    # itself), and the pipeline still kept a non-trivial corpus
+    assert not (out_ids & bench_ids)
+    assert len(out_ids) > 0
+    # decontaminated is a subset of deduped
+    dedup_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/deduped")
+        .select("doc_id").collect()
+    }
+    assert out_ids < dedup_ids
