@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="eval-set parquet (doc_id + text); when given,"
                          " docs sharing any 3-token shingle with it are"
                          " dropped before the split (decontamination)")
+    ap.add_argument("--max-dup-ratio", type=int, default=None,
+                    help="Gopher repetition rule: drop docs whose"
+                         " duplicate-2-gram fraction exceeds this ×10⁴"
+                         " threshold (e.g. 2000 = 0.2; default off)")
     ap.add_argument("--repartition", type=int, default=0,
                     help="url-hash repartition width before extraction")
     ap.add_argument("--run-id", default=None)
@@ -85,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     contract = (
         f"{pages_path}\n"
         f"min_quality={args.min_quality} langs={args.langs} "
-        f"near_dup={args.near_dup} benchmark={args.benchmark or ''}"
+        f"near_dup={args.near_dup} benchmark={args.benchmark or ''} "
+        f"max_dup_ratio={args.max_dup_ratio}"
     )
     prev = fsutil.resume_marker_guard(
         spark, f"{args.output}/_run_contract", contract
@@ -111,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         near_dup_threshold=args.near_dup,
         repartition=args.repartition or None,
         benchmark_path=args.benchmark,
+        max_dup_ratio_e4=args.max_dup_ratio,
     )
     print(f"run_id={runner.run_id} executed={runner.executed} "
           f"skipped={runner.skipped}")

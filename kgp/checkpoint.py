@@ -157,13 +157,17 @@ def build_training_pipeline(
     repartition: int | None = None,
     stop_after: str | None = None,
     benchmark_path: str | None = None,
+    max_dup_ratio_e4: int | None = None,
 ) -> StageRunner:
     """LLM training-data prep as resumable stages — the cleaning
     recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
     lineage), composed from the first-class operators:
 
     pages → docs (S4 byte-identical text)
-          → filtered   (lang-ID + quality-score gate, textstats)
+          → filtered   (lang-ID + quality-score gate, textstats;
+                        with ``max_dup_ratio_e4`` also the Gopher
+                        repetition rule — drop docs whose duplicate-
+                        2-gram fraction exceeds the threshold)
           → deduped    (exact md5 keep-min, then MinHash-LSH near-dup
                         pruning with the xxhash64 production family —
                         candidates only, never all-pairs)
@@ -188,7 +192,11 @@ def build_training_pipeline(
     from kgp.operators.dedup import near_dup_pairs_minhash
     from kgp.operators.sampling import hash_split
     from kgp.operators.segment import extract_docs
-    from kgp.operators.textstats import lang_id, quality_score
+    from kgp.operators.textstats import (
+        dup_ratio_e4_sql,
+        lang_best_col,
+        quality_e4_sql,
+    )
     from kgp.skew import repartition_by_url_hash
 
     runner = StageRunner(spark, out_dir, run_id)
@@ -204,18 +212,30 @@ def build_training_pipeline(
         return runner
 
     def _filtered() -> DataFrame:
-        q = quality_score(docs, text_col="extracted_text")
-        lang = lang_id(docs, text_col="extracted_text").select(
-            "doc_id", "pred_lang"
+        # all cleaning rules are per-row expressions compiled from the
+        # SAME definitions as the oracle-gated operators
+        # (quality_e4_sql / lang_best_col / dup_ratio_e4_sql), appended
+        # as projected columns — ZERO shuffles, no doc_id self-joins
+        # (plan-asserted in test_plans.py); at corpus scale this stage
+        # pipelines straight into the scan.
+        out = docs.select(
+            "*",
+            F.expr(quality_e4_sql("extracted_text")).alias(
+                "quality_e4"
+            ),
+            lang_best_col(F.col("extracted_text"))
+            .getField("lang")
+            .alias("pred_lang"),
+        ).filter(
+            (F.col("quality_e4") >= min_quality_e4)
+            & F.col("pred_lang").isin(*keep_langs)
         )
-        return (
-            docs.join(q, "doc_id")
-            .join(lang, "doc_id")
-            .filter(
-                (F.col("quality_e4") >= min_quality_e4)
-                & F.col("pred_lang").isin(*keep_langs)
+        if max_dup_ratio_e4 is not None:
+            out = out.filter(
+                F.expr(dup_ratio_e4_sql("extracted_text"))
+                <= max_dup_ratio_e4
             )
-        )
+        return out
 
     filtered = runner.stage("filtered", _filtered)
     if stop_after == "filtered":

@@ -92,6 +92,24 @@ def quality_features(
     )
 
 
+def quality_e4_sql(text_col: str) -> str:
+    """The quality score as ONE SQL expression over a text column —
+    the single definition both `quality_score` (oracle-gated) and the
+    training pipeline's filter stage compile from, so a consumer that
+    appends it as a projected column (zero shuffle, no doc_id join)
+    cannot diverge from the gated semantics."""
+    stoplist = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    w = f"split({text_col}, ' ', -1)"
+    # BIGINT casts before the ×10⁴: a million-token doc would
+    # overflow INT32 in `size(...) * 10000`
+    return (
+        f"100 * least(size({w}), 50)"
+        f" + (5 * least(CAST(size(filter({w},"
+        f" x -> lower(x) IN ({stoplist}))) AS BIGINT) * 10000"
+        f" div size({w}), 2000)) div 2"
+    )
+
+
 def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -101,13 +119,25 @@ def quality_score(
     — i.e. 0.5·min(n_tokens/50,1) + 0.5·min(stopword_ratio/0.2,1) in
     exact integer arithmetic (both halves cap at 5000).
     """
-    f = quality_features(docs, id_col, text_col)
-    return f.select(
-        id_col,
-        F.expr(
-            "100 * least(n_tokens, 50)"
-            " + (5 * least(stopword_ratio_e4, 2000)) div 2"
-        ).alias("quality_e4"),
+    return docs.select(
+        id_col, F.expr(quality_e4_sql(text_col)).alias("quality_e4")
+    )
+
+
+def dup_ratio_e4_sql(text_col: str) -> str:
+    """Gopher duplicate-2-gram fraction (×10⁴ integer) as ONE SQL
+    expression — the pipeline-filter twin of `repetition_stats`
+    (parity-tested); docs with <2 tokens carry no gram and score 0."""
+    w = f"split({text_col}, ' ', -1)"
+    g = (
+        f"transform(sequence(1, size({w}) - 1),"
+        f" i -> concat(element_at({w}, i), ' ',"
+        f" element_at({w}, i + 1)))"
+    )
+    return (
+        f"CASE WHEN size({w}) < 2 THEN 0L ELSE"
+        f" CAST(size({g}) - size(array_distinct({g})) AS BIGINT)"
+        f" * 10000 div size({g}) END"
     )
 
 
@@ -171,16 +201,12 @@ def repetition_stats(
     )
 
 
-def lang_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Marker-word language ID: hit count per language over the token
-    set, argmax with deterministic tie-break on language code.
-
-    Pure JVM: one pass over tokens per language (markers are literals
-    folded into codegen). Output: (id, pred_lang, hits).
-    """
-    toks = F.array_distinct(F.split(F.col(text_col), " ", -1))
+def lang_best_col(text: Column) -> Column:
+    """STRUCT(hits, lang) of the winning language for one text column
+    — the single argmax definition `lang_id` (oracle-gated) and the
+    training pipeline's filter stage both compile from, usable as a
+    projected column (zero shuffle, no doc_id join)."""
+    toks = F.array_distinct(F.split(text, " ", -1))
     scored = F.array(
         *[
             F.struct(
@@ -198,7 +224,19 @@ def lang_id(
     # take the last ⇒ max hits, lexicographically-last lang on ties.
     # The SQL oracle uses row_number() OVER (ORDER BY hits DESC, lang
     # DESC) — identical semantics.
-    best = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return F.element_at(F.reverse(F.array_sort(scored)), 1)
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: hit count per language over the token
+    set, argmax with deterministic tie-break on language code.
+
+    Pure JVM: one pass over tokens per language (markers are literals
+    folded into codegen). Output: (id, pred_lang, hits).
+    """
+    best = lang_best_col(F.col(text_col))
     return docs.select(id_col, best.alias("_b")).select(
         id_col,
         F.col("_b.lang").alias("pred_lang"),

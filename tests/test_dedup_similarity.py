@@ -406,3 +406,33 @@ def test_ngram_contamination_broadcasts_bench_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dup_ratio_sql_matches_repetition_stats(spark):
+    """dup_ratio_e4_sql (the pipeline-filter expression) and
+    repetition_stats (the gated operator) are two compilations of one
+    rule — equal on every doc, including short docs (SQL scores them
+    0; the operator drops them)."""
+    from kgp.operators.textstats import (
+        dup_ratio_e4_sql,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "p q r s"), (3, "solo"),
+         (4, "x x x x"), (5, "m n m n m n m")],
+        "doc_id long, text string",
+    )
+    via_sql = {
+        r["doc_id"]: r["d"]
+        for r in docs.selectExpr(
+            "doc_id", f"{dup_ratio_e4_sql('text')} AS d"
+        ).collect()
+    }
+    via_op = {
+        r["doc_id"]: r["dup_ratio_e4"]
+        for r in repetition_stats(docs).collect()
+    }
+    assert via_sql[3] == 0  # <2 tokens: no gram, scored clean
+    for k, v in via_op.items():
+        assert via_sql[k] == v, (k, via_sql[k], v)

@@ -113,3 +113,31 @@ def test_triples_build_has_no_extra_shuffles(spark):
     plan = _plan(build_triples(cap_mentions(m)))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"{n_exchanges} shuffles:\n{plan}"
+
+
+def test_training_filter_stage_is_shuffle_free(spark):
+    """The prep pipeline's cleaning stage (quality + lang + Gopher
+    repetition rule) must be a pure projection over docs — no doc_id
+    self-joins, no Exchange anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from kgp.operators.textstats import (
+        dup_ratio_e4_sql,
+        lang_best_col,
+        quality_e4_sql,
+    )
+
+    docs = extract_docs(synth_pages(spark, 20))
+    out = docs.select(
+        "*",
+        F.expr(quality_e4_sql("extracted_text")).alias("quality_e4"),
+        lang_best_col(F.col("extracted_text"))
+        .getField("lang")
+        .alias("pred_lang"),
+    ).filter(
+        (F.col("quality_e4") >= 3000)
+        & F.col("pred_lang").isin("en")
+        & (F.expr(dup_ratio_e4_sql("extracted_text")) <= 9000)
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
