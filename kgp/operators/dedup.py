@@ -303,6 +303,105 @@ def frequent_ngrams(
     )
 
 
+SPAN_TOKENS = 10
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+) -> DataFrame:
+    """C4 span-level dedup (Raffel et al. 2020 §2.2: any three-sentence
+    span occurring more than once in the corpus is removed, keeping one
+    occurrence), adapted to line-less corpora as non-overlapping
+    ``k``-token blocks — the sub-document complement of the doc-level
+    families above (a page sharing one boilerplate paragraph with
+    another page is untouched by doc-level dedup but cleaned here).
+
+    Keeper = the globally first occurrence by (id, block position), the
+    C4 "retain one" rule made deterministic. Output per doc:
+    (id, n_spans, n_dup_spans, n_removed, clean_md5) where clean_md5 is
+    the md5 of the doc's text after removal (kept blocks re-joined in
+    position order) — the digest stands in for the cleaned text so the
+    cross-engine gate stays scalar (no ARRAY columns).
+
+    Scale shape: block explode is narrow; the span groupBy partially
+    aggregates map-side (one row per distinct span per partition); the
+    count join back is keyed on the same span hash; the per-doc
+    reassembly is one more shuffle carrying only kept blocks. Head
+    spans (empty/boilerplate blocks) are exactly the AQE skew-split
+    case. At 100 TB the reassembly groupBy is the honest cost of
+    C4-style cleaning — the alternative (flag-only, defer rewriting to
+    the sink writer) drops the third shuffle; this operator returns the
+    digest so tests pin the rewrite semantics end-to-end.
+    """
+    from pyspark.sql import types as T
+
+    wt = docs.select(
+        id_col, F.split(F.col(text_col), " ", -1).alias("w")
+    )
+    spans = wt.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1), "
+                f"i -> concat_ws(' ', slice(w, i * {k} + 1, {k})))"
+            )
+        ).alias("pos", "span"),
+    )
+    # keeper key: min over a STRUCT buffers a non-mutable type and
+    # demotes the span groupBy to SortAggregate (the round-1 minhash
+    # scale-killer all over again) — for integral non-negative ids,
+    # pack (id, pos) into ONE BIGINT so the agg stays HashAggregate.
+    # 2^20 block positions/doc = 2^20·k tokens/doc headroom; ids must
+    # fit 43 bits. Non-integral ids keep the struct (SortAggregate,
+    # documented cost).
+    pos_bits = 20
+    if isinstance(
+        docs.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        spans = spans.withColumn(
+            "_sk",
+            F.col(id_col).cast("long") * (1 << pos_bits) + F.col("pos"),
+        )
+    else:
+        spans = spans.withColumn(
+            "_sk", F.struct(F.col(id_col), F.col("pos"))
+        )
+    g = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("_sk").alias("_keeper"),
+    )
+    j = spans.join(g, "span")
+    kept = (F.col("cnt") == 1) | (F.col("_sk") == F.col("_keeper"))
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.sum(F.when(kept, 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept, F.struct(F.col("pos"), F.col("span"))
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

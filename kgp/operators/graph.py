@@ -156,6 +156,75 @@ def pagerank_int(
     return ranks
 
 
+def triangle_counts(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node triangle participation + degree over canonical
+    undirected ``edges(src, dst)`` (distinct pairs with src < dst).
+
+    Triangle enumeration is the two-self-join wedge close: e1(a,b) ⋈
+    e2(b,c) forms wedges, closed by probing e3(a,c); the a<b<c
+    canonical orientation enumerates each triangle exactly once.
+    Output ``(id, degree, triangles)`` covers every node in ``nodes``
+    (default: edge endpoints) with 0-filled counts — clustering
+    coefficient is then 2·triangles / (degree·(degree−1)) downstream.
+
+    Scale shape: both joins key on edge endpoints with map-side
+    partial agg on the final counts; the id-orientation matches the
+    SQL twin exactly. The classic refinement at 10^12 edges is
+    degree-orientation (orient each edge toward the higher-degree
+    endpoint so wedge pivots are low-degree vertices — Schank 2007);
+    it changes the join sizes, not the counts. Head-entity hubs are
+    the AQE skew-split case either way.
+
+    ``materialize`` (default) eagerly localCheckpoints the edge table
+    first: it is referenced four times (three join sides + degree) and
+    alias-differing projections defeat Spark's ReusedExchange here, so
+    an un-cut lineage replays the whole edge derivation per reference
+    (observed: the incidence self-join + count-filter subplan planned
+    4× for the co-occurrence graph). On clusters swap for a reliable
+    checkpoint, or pre-write edges bucketed by src (kgp.catalog).
+    """
+    e = edges.select("src", "dst")
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).join(
+        e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    if nodes is None:
+        nodes = deg.select("id")
+    return (
+        nodes.join(deg, "id", "left")
+        .join(tn, "id", "left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+        )
+    )
+
+
 def pagerank_sql(de_cte: str, iters: int = 3) -> str:
     """DuckDB twin: unrolled iterations over the same integer
     semantics. ``de_cte`` must define ``de(doc_id, eid)`` — distinct

@@ -21,8 +21,9 @@ collapse into a single vectorized dispatch over the platform column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # strategies/youtube.py:11-21 patterns, fused into one alternation
 YOUTUBE_ID_PAT = r"(?:v=|youtu\.be/)([A-Za-z0-9_-]+)"
@@ -78,3 +79,61 @@ def normalize_content_items(
             "topics": F.lit(""),
         }
     )
+
+
+# S1 alternate source format: Common-Crawl-style newline-delimited
+# JSON (a WET/WAT-shaped export). The wire schema is EXPLICIT — schema
+# inference is a full extra pass over 100 TB — and binary html rides
+# as base64 (JSON carries no binary).
+JSONL_PAGES_WIRE = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.StringType(), True),
+        T.StructField("html_b64", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("_corrupt", T.StringType(), True),
+    ]
+)
+
+
+def read_pages_jsonl(
+    spark: SparkSession, path: str, with_corrupt: bool = False
+):
+    """Read JSONL pages into the canonical PAGES schema
+    (url, warc_ts, html, text, lang — kgp.schemas.PAGES).
+
+    PERMISSIVE mode with a corrupt-record column: a malformed line at
+    10^12 documents is a certainty, so it must neither fail the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED) — corrupt rows are
+    quarantined and countable. ``with_corrupt=True`` additionally
+    returns the quarantine frame (raw line + the url if it parsed).
+    warc_ts parses as ISO-8601; unparseable timestamps become NULL
+    (the freshness filter P2 treats NULL as stale), they do not poison
+    the row. Everything is JVM expressions — the decode pipelines into
+    whole-stage codegen, no UDF.
+    """
+    raw = spark.read.schema(JSONL_PAGES_WIRE).json(
+        path,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    clean = raw.filter(
+        F.col("_corrupt").isNull() & F.col("url").isNotNull()
+    ).select(
+        "url",
+        # try_: under ANSI mode (Spark 4 default) a plain cast THROWS
+        # on one malformed timestamp and kills the whole job
+        F.try_to_timestamp(F.col("warc_ts")).alias("warc_ts"),
+        F.unbase64(F.coalesce(F.col("html_b64"), F.lit(""))).alias(
+            "html"
+        ),
+        "text",
+        "lang",
+    )
+    if not with_corrupt:
+        return clean
+    corrupt = raw.filter(F.col("_corrupt").isNotNull()).select(
+        "url", F.col("_corrupt").alias("raw_line")
+    )
+    return clean, corrupt

@@ -92,6 +92,13 @@ DRIVER_WINDOW: list[str] = [
     "kg_pagerank",
     "docs_train_split",
     "docs_boilerplate_ngrams",
+    # pages_canonical_entities demoted (r02-green; X5 stays in-window
+    # via kg_canonical_entities + kg_triples_canonical +
+    # dedup_minhash_clusters) to admit the triangle-count gate;
+    # kg_graph_export_nodes demoted (r02-green; S9 stays in-window via
+    # kg_graph_export_counts) to admit the C4 span-dedup gate:
+    "kg_triangle_counts",
+    "docs_span_dedup",
     # -- keepers: unique-operator core, re-verified every round --
     "kg_triples",
     "pages_extracted_docs",
@@ -99,7 +106,6 @@ DRIVER_WINDOW: list[str] = [
     "pages_segment_triples",
     "pages_fresh_filter",
     "pages_linked_entities",  # semantics touched this round (NULL filter)
-    "pages_canonical_entities",
     "pages_near_dup_pairs",
     "pages_html_media_features",
     # dedup_exact_groups demoted (r02-green; dedup family stays
@@ -124,9 +130,8 @@ DRIVER_WINDOW: list[str] = [
     # covered by kg_entity_doc_counts in-window) for
     # docs_boilerplate_ngrams:
     "temporal_search_filtered",
-    "kg_graph_export_nodes",
-    # kg_graph_export_edges demoted (r02-green; S9 stays in-window via
-    # _nodes + _counts) to admit the set-ops entry:
+    # kg_graph_export_edges demoted (r02-green; S9 stays in-window
+    # via kg_graph_export_counts) to admit the set-ops entry:
     "events_user_setops",
     # customers_without_big_orders demoted (r01+r02 green; anti-join
     # semantics stay in-window via events_user_setops EXCEPT) to admit

@@ -1841,19 +1841,17 @@ de AS (SELECT DISTINCT doc_id,
 )
 
 
-def cooccurrence_graph(spark, sf_dir):
-    """(edges, nodes) of the entity co-occurrence graph over the
-    `documents` KG — distinct directed pairs both ways + all entities
-    (isolated ones included). The doc→entity incidence `de` is
-    materialized once (localCheckpoint): edges AND nodes both fan out
-    from it, and the consumer (pagerank) actions each side separately
-    — without the cut the scan→window→distinct prefix runs twice. At
-    scale this is the natural stage boundary (the incidence table is
-    the KG's smallest projection)."""
+def _entity_incidence(spark, sf_dir):
+    """Distinct doc→entity incidence `de(doc_id, eid)`, materialized
+    once (localCheckpoint): every graph-analytics consumer fans out
+    from it (edges AND nodes, actioned separately), and without the
+    cut the scan→window→distinct prefix replays per action. At scale
+    this is the natural stage boundary (the incidence table is the
+    KG's smallest projection)."""
     from kgp.operators.triples import normalize_entity_id
     from kgp.queries import _doc_capped
 
-    de = (
+    return (
         _doc_capped(spark, sf_dir)
         .select(
             "doc_id", normalize_entity_id(F.col("surface")).alias("eid")
@@ -1861,6 +1859,13 @@ def cooccurrence_graph(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def cooccurrence_graph(spark, sf_dir):
+    """(edges, nodes) of the entity co-occurrence graph over the
+    `documents` KG — distinct directed pairs both ways + all entities
+    (isolated ones included)."""
+    de = _entity_incidence(spark, sf_dir)
     a = de.select("doc_id", F.col("eid").alias("src"))
     b = de.select("doc_id", F.col("eid").alias("dst"))
     edges = (
@@ -1888,6 +1893,100 @@ def q_kg_pagerank(spark, sf_dir):
     return pr.select(
         F.col("id").alias("entity_id"), F.col("rank").alias("pagerank")
     )
+
+
+# min co-occurrence support for the triangle gate: the synthetic
+# corpus's edge-weight histogram is trimodal (1 edge @2, ~18 @22-30,
+# 36 @311+); 25 lands inside the middle band so the thresholded graph
+# has VARIED degrees/triangle counts (the unthresholded graph is
+# complete at sf0.01 — a gate any bug producing K_n would pass)
+COOC_MIN_SUPPORT = 25
+
+
+@register(
+    "kg_triangle_counts",
+    _DE_CTE
+    + f""",
+e AS (SELECT src, dst FROM (
+        SELECT a.eid AS src, b.eid AS dst, count(*) AS w
+        FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid < b.eid
+        GROUP BY 1, 2) WHERE w >= {COOC_MIN_SUPPORT}),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+       FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY 1),
+nodes AS (SELECT DISTINCT eid AS id FROM de)
+SELECT n.id AS entity_id,
+       CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN deg d ON d.id = n.id
+             LEFT JOIN tn t ON t.id = n.id
+""",
+)
+def q_kg_triangle_counts(spark, sf_dir):
+    """Per-entity triangle participation + degree over the
+    min-support-thresholded co-occurrence graph
+    (kgp.operators.graph.triangle_counts — canonical a<b<c wedge-close
+    self-joins; isolated entities kept with 0s). Graph analytics the
+    reference's Gremlin store never runs globally; same
+    exceeds-reference rationale as kg_pagerank."""
+    from kgp.operators.graph import triangle_counts
+
+    de = _entity_incidence(spark, sf_dir)
+    a = de.select("doc_id", F.col("eid").alias("src"))
+    b = de.select("doc_id", F.col("eid").alias("dst"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= COOC_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    nodes = de.select(F.col("eid").alias("id")).distinct()
+    return triangle_counts(edges, nodes).select(
+        F.col("id").alias("entity_id"), "degree", "triangles"
+    )
+
+
+@register(
+    "docs_span_dedup",
+    """
+WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS span
+       FROM wt,
+            unnest(range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)) AS t(i)),
+m AS (SELECT doc_id, pos, span,
+             count(*) OVER (PARTITION BY span) AS cnt,
+             row_number() OVER (
+               PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM sp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (cnt > 1) AS BIGINT) AS n_dup_spans,
+       CAST(count(*) FILTER (cnt > 1 AND rn > 1) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(span, ' ' ORDER BY pos)
+                      FILTER (cnt = 1 OR rn = 1), '')) AS clean_md5
+FROM m GROUP BY 1
+""",
+)
+def q_docs_span_dedup(spark, sf_dir):
+    """C4 span-level dedup (kgp.operators.dedup.span_dedup_stats):
+    non-overlapping 10-token blocks occurring more than once in the
+    corpus are removed keeping the globally-first occurrence; per-doc
+    counts + the md5 of the cleaned text pin the rewrite end-to-end.
+    The Spark side resolves keepers via groupBy(min(struct)) + join
+    (map-side partial agg); the oracle uses window functions — two
+    algorithms, one answer."""
+    from kgp.operators.dedup import span_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dedup_stats(docs, k=10)
 
 
 from kgp.operators.sampling import hash_bucket_sql, hash_split

@@ -436,3 +436,91 @@ def test_dup_ratio_sql_matches_repetition_stats(spark):
     assert via_sql[3] == 0  # <2 tokens: no gram, scored clean
     for k, v in via_op.items():
         assert via_sql[k] == v, (k, via_sql[k], v)
+
+
+def _py_span_dedup(docs, k):
+    """Pure-Python C4 span-removal reference: global first occurrence
+    by (doc_id, pos) wins; returns {doc_id: (n_spans, n_dup, n_removed,
+    clean_text)}."""
+    spans = []  # (doc_id, pos, span)
+    for did, text in docs:
+        w = text.split(" ")
+        for pos in range(-(-len(w) // k)):
+            spans.append((did, pos, " ".join(w[pos * k: pos * k + k])))
+    cnt: dict = {}
+    for _, _, s in spans:
+        cnt[s] = cnt.get(s, 0) + 1
+    keeper = {}
+    for did, pos, s in sorted(spans):
+        keeper.setdefault(s, (did, pos))
+    out = {}
+    for did, _ in docs:
+        mine = sorted(
+            (p, s) for d, p, s in spans if d == did
+        )
+        kept = [
+            s for p, s in mine
+            if cnt[s] == 1 or keeper[s] == (did, p)
+        ]
+        out[did] = (
+            len(mine),
+            sum(1 for _, s in mine if cnt[s] > 1),
+            len(mine) - len(kept),
+            " ".join(kept),
+        )
+    return out
+
+
+def test_span_dedup_hand_computed(spark):
+    import hashlib
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    docs = [
+        (1, "x y z a b c"),   # both spans duplicated elsewhere; first
+        (2, "x y z q"),       # loses "x y z" to doc 1
+        (3, "a b c"),         # loses "a b c" to doc 1 pos 1
+        (4, "r s t r s t"),   # intra-doc repeat: keeps one copy
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["n_removed"],
+            r["clean_md5"],
+        )
+        for r in span_dedup_stats(df, k=3).collect()
+    }
+    want = {
+        d: (n, du, rm, hashlib.md5(t.encode()).hexdigest())
+        for d, (n, du, rm, t) in _py_span_dedup(docs, 3).items()
+    }
+    assert got == want
+    assert got[1][3] == hashlib.md5(b"x y z a b c").hexdigest()
+    assert got[3] == (1, 1, 1, hashlib.md5(b"").hexdigest())
+
+
+def test_span_dedup_randomized_vs_python(spark):
+    import hashlib
+    import random
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 17))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["n_removed"],
+            r["clean_md5"],
+        )
+        for r in span_dedup_stats(df, k=4).collect()
+    }
+    want = {
+        d: (n, du, rm, hashlib.md5(t.encode()).hexdigest())
+        for d, (n, du, rm, t) in _py_span_dedup(docs, 4).items()
+    }
+    assert got == want

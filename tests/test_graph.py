@@ -136,3 +136,62 @@ def test_frequent_ngrams_cap_and_tiebreak(spark):
     assert grams == sorted(grams)
     assert all(r["n_docs"] == 6 for r in rows)
     assert "x y z" in grams and "a b c" not in grams
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 + pendant edge + isolated node, hand-counted: every K4
+    vertex sits in C(3,2)=3 triangles, the pendant/isolated in 0."""
+    from kgp.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcdez"], "id string"
+    )
+    got = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(edges, nodes).collect()
+    }
+    assert got == {
+        "a": (3, 3), "b": (3, 3), "c": (3, 3), "d": (4, 3),
+        "e": (1, 0), "z": (0, 0),
+    }
+
+
+def test_triangle_counts_randomized_vs_python(spark):
+    """Canonical-orientation wedge close vs brute-force enumeration
+    over a deterministic random graph."""
+    import itertools
+    import random
+
+    from kgp.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    ids = [f"n{i}" for i in range(30)]
+    es = sorted(
+        {
+            tuple(sorted(rng.sample(ids, 2)))
+            for _ in range(120)
+        }
+    )
+    eset = set(es)
+    tri = {n: 0 for n in ids}
+    deg = {n: 0 for n in ids}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    for a, b, c in itertools.combinations(sorted(ids), 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    edges = spark.createDataFrame(es, "src string, dst string")
+    nodes = spark.createDataFrame([(n,) for n in ids], "id string")
+    got = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(edges, nodes).collect()
+    }
+    assert got == {n: (deg[n], tri[n]) for n in ids}

@@ -141,3 +141,41 @@ def test_training_filter_stage_is_shuffle_free(spark):
     )
     plan = _plan(out)
     assert "Exchange" not in plan, plan
+
+
+def test_span_dedup_groupby_stays_hash_aggregate(spark, tmp_path):
+    """The keeper min is packed into ONE BIGINT for integral ids so
+    the corpus-wide span groupBy keeps fixed-width hash-agg buffers —
+    a struct/string min would demote it to SortAggregate (a
+    per-partition sort on the widest stage of C4 cleaning). The final
+    per-doc reassembly is ObjectHashAggregate (collect_list), also
+    hash-based."""
+    import pandas as pd
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d", "a b c d e"]}
+    ).to_parquet(p)
+    plan = _plan(span_dedup_stats(spark.read.parquet(p), k=2))
+    assert "SortAggregate" not in plan, plan
+
+
+def test_triangle_edges_materialized_once(spark):
+    """triangle_counts references the edge table four times; the
+    default materialize cuts its lineage so the (expensive) edge
+    derivation is not replanned per reference — the executed plan must
+    scan the checkpointed RDD, not replay upstream joins."""
+    from kgp.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    ).join(  # give the edge table a non-trivial lineage
+        spark.createDataFrame([("a",)], "src string").hint("broadcast"),
+        "src",
+        "left_semi",
+    )
+    plan = _plan(triangle_counts(edges))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" not in plan.split("ExistingRDD")[0], plan

@@ -115,6 +115,11 @@ def test_driver_window_invariants():
         # T1 via ann_topk_ivf)
         "customers_without_big_orders", "dedup_simhash_groups",
         "ann_topk_lsh",
+        # demoted late-r3 for kg_triangle_counts / docs_span_dedup;
+        # both r02-driver-green (X5 in-window via kg_canonical_entities
+        # + kg_triples_canonical + dedup_minhash_clusters, S9 via
+        # kg_graph_export_counts)
+        "pages_canonical_entities", "kg_graph_export_nodes",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (
