@@ -18,9 +18,10 @@ Stages (each committed through the lineage ledger; rerunning with the
 same --output skips committed stages): docs → filtered (lang + quality
 gate) → deduped (exact md5 keep-min, then MinHash-LSH near-dup
 pruning) → decontaminated (only with --benchmark: drop docs sharing
-any 3-token shingle with the eval set) → split (md5-bucket
-train/val/test, hive-partitioned by split). A trainer then reads
-`split=train` with partition pruning.
+any 3-token shingle with the eval set) → capped (only with
+--max-per-domain: keep the K highest-quality docs per url domain) →
+split (md5-bucket train/val/test, hive-partitioned by split). A
+trainer then reads `split=train` with partition pruning.
 """
 
 from __future__ import annotations
@@ -52,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="Gopher repetition rule: drop docs whose"
                          " duplicate-2-gram fraction exceeds this ×10⁴"
                          " threshold (e.g. 2000 = 0.2; default off)")
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="mega-domain quota: keep at most K highest-"
+                         "quality docs per url domain (default off)")
     ap.add_argument("--repartition", type=int, default=0,
                     help="url-hash repartition width before extraction")
     ap.add_argument("--run-id", default=None)
@@ -90,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
         f"{pages_path}\n"
         f"min_quality={args.min_quality} langs={args.langs} "
         f"near_dup={args.near_dup} benchmark={args.benchmark or ''} "
-        f"max_dup_ratio={args.max_dup_ratio}"
+        f"max_dup_ratio={args.max_dup_ratio} "
+        f"max_per_domain={args.max_per_domain}"
     )
     prev = fsutil.resume_marker_guard(
         spark, f"{args.output}/_run_contract", contract
@@ -117,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         repartition=args.repartition or None,
         benchmark_path=args.benchmark,
         max_dup_ratio_e4=args.max_dup_ratio,
+        max_per_domain=args.max_per_domain,
     )
     print(f"run_id={runner.run_id} executed={runner.executed} "
           f"skipped={runner.skipped}")

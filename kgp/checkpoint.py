@@ -158,6 +158,7 @@ def build_training_pipeline(
     stop_after: str | None = None,
     benchmark_path: str | None = None,
     max_dup_ratio_e4: int | None = None,
+    max_per_domain: int | None = None,
 ) -> StageRunner:
     """LLM training-data prep as resumable stages — the cleaning
     recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
@@ -176,6 +177,13 @@ def build_training_pipeline(
                         eval set — GPT-3 appendix-C policy; eval gram
                         set broadcast, kgp.operators.dedup
                         .ngram_contamination)
+          → capped     (only when ``max_per_domain`` is given: keep
+                        the ``max_per_domain`` highest-quality docs
+                        per url domain — mega-domain quota, the
+                        RefinedWeb-style mitigation for zipf-head
+                        hosts dominating the training mix;
+                        kgp.operators.sources.cap_per_key with a
+                        (quality_e4 DESC, doc_id) total order)
           → split      (reproducible md5-bucket train/val/test,
                         hive-partitioned by split so a trainer reads
                         its split with partition pruning, no scan)
@@ -292,6 +300,24 @@ def build_training_pipeline(
 
         final = runner.stage("decontaminated", _decontaminated)
         if stop_after == "decontaminated":
+            return runner
+
+    if max_per_domain is not None:
+        from kgp.operators.sources import cap_per_key, domain_col
+
+        def _capped(src: DataFrame = final) -> DataFrame:
+            # quality_e4 was projected in the filter stage and rides
+            # through both dedup joins, so the quota keeps the BEST
+            # k docs of each domain, not an arbitrary k
+            return cap_per_key(
+                src.withColumn("_domain", domain_col("url")),
+                F.col("_domain"),
+                [F.desc("quality_e4"), F.asc("doc_id")],
+                max_per_domain,
+            ).drop("_domain", "rank")
+
+        final = runner.stage("capped", _capped)
+        if stop_after == "capped":
             return runner
 
     runner.stage(

@@ -21,7 +21,7 @@ collapse into a single vectorized dispatch over the platform column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -137,3 +137,64 @@ def read_pages_jsonl(
         "url", F.col("_corrupt").alias("raw_line")
     )
     return clean, corrupt
+
+
+# URL → registrable domain, the grouping key of every per-site web
+# pipeline policy (RefinedWeb/C4 run URL filtering and per-site quotas
+# as stage one, before any content work)
+DOMAIN_PAT = r"^https?://([^/]+)/"
+
+
+def domain_col(url: Column | str) -> Column:
+    url = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(url, DOMAIN_PAT, 1)
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus profile: (domain, n_pages, total_tokens,
+    n_langs). One groupBy with map-side partial agg; the zipf head
+    domain IS the AQE skew-split case — partials keep the shuffle one
+    row per (domain, partition)."""
+    return (
+        pages.select(
+            domain_col(url_col).alias("domain"),
+            F.size(F.split(F.col(text_col), " ", -1)).alias("_nt"),
+            "lang",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: Column,
+    order_by: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Quota sampling: keep at most ``k`` rows per key, ranked by
+    ``order_by`` (mega-domain mitigation — a handful of hosts dominate
+    any web crawl, and uncapped they dominate the training mix too).
+
+    One shuffle on the key; the rank is a windowed row_number, so the
+    head key's partition sorts all its rows — for web-crawl zipf heads
+    pre-prune first (e.g. a warc_ts freshness bound) or salt the key
+    and take k per salt then re-rank the k·S survivors; both keep the
+    sorted set bounded. The deterministic tiebreak must make
+    ``order_by`` a TOTAL order or ranks are engine/partitioning-
+    dependent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -99,11 +99,17 @@ DRIVER_WINDOW: list[str] = [
     # kg_graph_export_counts) to admit the C4 span-dedup gate:
     "kg_triangle_counts",
     "docs_span_dedup",
+    # kg_entity_cooccurrence demoted (r02-green; the co-occurrence
+    # graph is exercised in-window by kg_pagerank + kg_triangle_counts)
+    # and pages_segment_triples demoted (r02-green; F4 namespacing
+    # stays in-window via kg_triples edge_id) to admit the per-domain
+    # web-policy entries:
+    "pages_domain_stats",
+    "pages_domain_capped",
     # -- keepers: unique-operator core, re-verified every round --
     "kg_triples",
     "pages_extracted_docs",
     "pages_segments",
-    "pages_segment_triples",
     "pages_fresh_filter",
     "pages_linked_entities",  # semantics touched this round (NULL filter)
     "pages_near_dup_pairs",
@@ -115,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "docs_decontamination",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_pairs",
-    "kg_entity_cooccurrence",
     "kg_canonical_entities",
     "kg_entity_doc_counts_salted",
     "svo_pattern_triples",

@@ -350,6 +350,71 @@ def q_pages_fresh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# per-domain web-pipeline policies (RefinedWeb/C4 stage-one shape)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_SQL = "regexp_extract(url, '^https?://([^/]+)/', 1)"
+DOMAIN_CAP_K = 100  # caps the zipf head (top-9 domains at n=5000)
+
+
+@register(
+    "pages_domain_stats",
+    f"""
+WITH {_PAGES_CTE}
+SELECT {_DOMAIN_SQL} AS domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM pages GROUP BY 1
+""",
+    tier=1,
+)
+def q_pages_domain_stats(spark, sf_dir):
+    """Per-domain corpus profile (kgp.operators.sources.domain_stats):
+    the grouping every per-site crawl policy starts from. One groupBy
+    with map-side partials; html never read."""
+    from kgp.operators.sources import domain_stats
+
+    return domain_stats(_pages(spark, sf_dir))
+
+
+@register(
+    "pages_domain_capped",
+    f"""
+WITH {_PAGES_CTE},
+d AS (SELECT url, epoch_us(warc_ts) AS ts_us,
+             {_DOMAIN_SQL} AS domain
+      FROM pages),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY ts_us DESC, url) AS rank FROM d)
+SELECT domain, url, ts_us, rank FROM r WHERE rank <= {DOMAIN_CAP_K}
+""",
+    tier=1,
+)
+def q_pages_domain_capped(spark, sf_dir):
+    """Mega-domain quota sampling (kgp.operators.sources.cap_per_key):
+    keep the newest {K} pages per domain, url tiebreak making the rank
+    a total order so both engines agree row-for-row. The synthetic
+    zipf head (site000 = 30% of the crawl) is genuinely capped."""
+    from kgp.operators.sources import cap_per_key, domain_col
+
+    p = _pages(spark, sf_dir).select(
+        "url",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias(
+            "ts_us"
+        ),
+        domain_col("url").alias("domain"),
+    )
+    return cap_per_key(
+        p,
+        F.col("domain"),
+        [F.desc("ts_us"), F.asc("url")],
+        DOMAIN_CAP_K,
+    )
+
+
+# ---------------------------------------------------------------------------
 # X2/X5 — linking + canonicalization on the pages KG
 # ---------------------------------------------------------------------------
 

@@ -120,6 +120,10 @@ def test_driver_window_invariants():
         # + kg_triples_canonical + dedup_minhash_clusters, S9 via
         # kg_graph_export_counts)
         "pages_canonical_entities", "kg_graph_export_nodes",
+        # demoted late-r3 for pages_domain_stats/_capped; both
+        # r02-driver-green (co-occurrence in-window via kg_pagerank +
+        # kg_triangle_counts, F4 via kg_triples edge_id)
+        "kg_entity_cooccurrence", "pages_segment_triples",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (

@@ -157,3 +157,54 @@ def test_training_pipeline_decontaminates_against_benchmark(
         .select("doc_id").collect()
     }
     assert out_ids < dedup_ids
+
+
+def test_training_pipeline_domain_quota(spark, tmp_path):
+    """--max-per-domain keeps the K HIGHEST-QUALITY docs per domain:
+    the quota holds in the split output, and for a capped domain the
+    survivors' quality floor ≥ the evicted docs' quality ceiling."""
+    from kgp.operators.sources import domain_col
+
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus_capped")
+    k = 5
+    r = build_training_pipeline(
+        spark,
+        pages,
+        out,
+        min_quality_e4=0,
+        near_dup_threshold=0.5,
+        max_per_domain=k,
+    )
+    assert "capped" in r.executed
+
+    split = spark.read.parquet(f"{out}/split").withColumn(
+        "domain", domain_col("url")
+    )
+    per_dom = {
+        row["domain"]: row["count"]
+        for row in split.groupBy("domain").count().collect()
+    }
+    assert max(per_dom.values()) <= k
+    # the zipf head domain is genuinely capped (had >> k pages)
+    deduped = spark.read.parquet(f"{out}/deduped").withColumn(
+        "domain", domain_col("url")
+    )
+    head = (
+        deduped.groupBy("domain").count()
+        .orderBy(F.desc("count")).first()
+    )
+    assert head["count"] > k
+    assert per_dom[head["domain"]] == k
+    kept_min = (
+        split.filter(F.col("domain") == head["domain"])
+        .agg(F.min("quality_e4")).first()[0]
+    )
+    evicted_max = (
+        deduped.join(
+            split.select("doc_id"), "doc_id", "left_anti"
+        )
+        .filter(F.col("domain") == head["domain"])
+        .agg(F.max("quality_e4")).first()[0]
+    )
+    assert kept_min >= evicted_max
