@@ -165,6 +165,18 @@ def main() -> None:
     )
     pagerank_sec = round(best, 3)
 
+    # C4 span-level dedup over the documents table (the heaviest new
+    # training-data operator: corpus-wide span groupBy + count join +
+    # per-doc reassembly) — side metric, keeps headline comparable
+    from kgp.operators.dedup import span_dedup_stats
+
+    best, _ = timed(
+        "span_dedup",
+        lambda: span_dedup_stats(docs).count(),
+        record=False,
+    )
+    span_dedup_sec = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -178,6 +190,7 @@ def main() -> None:
                 "cpus": cpus,
                 "minhash_fast_sec": minhash_fast_sec,
                 "pagerank_sec": pagerank_sec,
+                "span_dedup_sec": span_dedup_sec,
                 "kg_docs_per_sec": round(n_pages / kg_sec, 1),
                 "kg_docs_per_sec_fused": round(n_pages / fused_sec, 1),
                 "kg_pages": n_pages,

@@ -524,3 +524,31 @@ def test_span_dedup_randomized_vs_python(spark):
         for d, (n, du, rm, t) in _py_span_dedup(docs, 4).items()
     }
     assert got == want
+
+
+def test_span_dedup_string_ids_struct_fallback(spark):
+    """Non-integral ids take the struct-keeper path (documented
+    SortAggregate cost) — semantics must match the packed-BIGINT path
+    exactly, keeper = lexicographic (id, pos) min."""
+    import hashlib
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    docs = [
+        ("page:a", "x y z a b c"),
+        ("page:b", "x y z q"),
+        ("page:c", "a b c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["n_removed"],
+            r["clean_md5"],
+        )
+        for r in span_dedup_stats(df, k=3).collect()
+    }
+    want = {
+        d: (n, du, rm, hashlib.md5(t.encode()).hexdigest())
+        for d, (n, du, rm, t) in _py_span_dedup(docs, 3).items()
+    }
+    assert got == want
