@@ -362,9 +362,35 @@ def span_dedup_stats(
         docs.schema[id_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     ):
+        # the packing is only a total order when id ∈ [0, 2^43) and
+        # pos < 2^20 — outside that it silently picks a WRONG keeper
+        # (64-bit snowflake/xxhash ids are integral and would take
+        # this path), so the bound is enforced per-row: assert_true
+        # raises instead of corrupting, and costs one codegen'd
+        # comparison folded into the key expression
+        in_bounds = (
+            (F.col(id_col) >= 0)
+            & (F.col(id_col) < F.lit(1 << 43).cast("long"))
+            & (F.col("pos") < F.lit(1 << pos_bits))
+        )
+        guard = F.assert_true(
+            in_bounds,
+            F.lit(
+                "span_dedup_stats: id/pos exceed packed-keeper bounds "
+                "(id must be in [0, 2^43), doc must have < 2^20 "
+                "blocks) — use a string id column or a larger k"
+            ),
+        )
+        # the when() branches per row, so the multiplication (which
+        # would itself ANSI-overflow for huge ids, with a less useful
+        # message) is only evaluated for in-bounds rows
         spans = spans.withColumn(
             "_sk",
-            F.col(id_col).cast("long") * (1 << pos_bits) + F.col("pos"),
+            F.when(
+                in_bounds,
+                F.col(id_col).cast("long") * (1 << pos_bits)
+                + F.col("pos"),
+            ).otherwise(F.coalesce(guard.cast("long"), F.lit(0))),
         )
     else:
         spans = spans.withColumn(

@@ -106,12 +106,16 @@ def read_pages_jsonl(
     PERMISSIVE mode with a corrupt-record column: a malformed line at
     10^12 documents is a certainty, so it must neither fail the job
     (FAILFAST) nor vanish silently (DROPMALFORMED) — corrupt rows are
-    quarantined and countable. ``with_corrupt=True`` additionally
-    returns the quarantine frame (raw line + the url if it parsed).
-    warc_ts parses as ISO-8601; unparseable timestamps become NULL
-    (the freshness filter P2 treats NULL as stale), they do not poison
-    the row. Everything is JVM expressions — the decode pipelines into
-    whole-stage codegen, no UDF.
+    quarantined and countable, and a valid-JSON row with NO url (the
+    row key) is quarantined too, not dropped. ``with_corrupt=True``
+    additionally returns the quarantine frame (url if it parsed +
+    the raw line / drop reason). Field-level damage inside an
+    otherwise-keyed row degrades instead of poisoning it: unparseable
+    timestamps and undecodable base64 become NULL via the try_
+    variants (under ANSI mode — the Spark 4 default — the strict
+    forms THROW and kill the job on one bad value; P2 freshness
+    treats NULL warc_ts as stale). Everything is JVM expressions —
+    the decode pipelines into whole-stage codegen, no UDF.
     """
     raw = spark.read.schema(JSONL_PAGES_WIRE).json(
         path,
@@ -122,27 +126,33 @@ def read_pages_jsonl(
         F.col("_corrupt").isNull() & F.col("url").isNotNull()
     ).select(
         "url",
-        # try_: under ANSI mode (Spark 4 default) a plain cast THROWS
-        # on one malformed timestamp and kills the whole job
         F.try_to_timestamp(F.col("warc_ts")).alias("warc_ts"),
-        F.unbase64(F.coalesce(F.col("html_b64"), F.lit(""))).alias(
-            "html"
-        ),
+        F.try_to_binary(
+            F.coalesce(F.col("html_b64"), F.lit("")), F.lit("base64")
+        ).alias("html"),
         "text",
         "lang",
     )
     if not with_corrupt:
         return clean
-    corrupt = raw.filter(F.col("_corrupt").isNotNull()).select(
-        "url", F.col("_corrupt").alias("raw_line")
+    corrupt = raw.filter(
+        F.col("_corrupt").isNotNull() | F.col("url").isNull()
+    ).select(
+        "url",
+        F.coalesce(F.col("_corrupt"), F.lit("<missing url>")).alias(
+            "raw_line"
+        ),
     )
     return clean, corrupt
 
 
 # URL → registrable domain, the grouping key of every per-site web
 # pipeline policy (RefinedWeb/C4 run URL filtering and per-site quotas
-# as stage one, before any content work)
-DOMAIN_PAT = r"^https?://([^/]+)/"
+# as stage one, before any content work). No trailing '/': path-less
+# urls (https://example.com) are common in real crawls and a '/'-
+# anchored pattern would extract '' for ALL of them, collapsing
+# unrelated hosts into one quota bucket.
+DOMAIN_PAT = r"^https?://([^/]+)"
 
 
 def domain_col(url: Column | str) -> Column:

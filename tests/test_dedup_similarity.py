@@ -552,3 +552,17 @@ def test_span_dedup_string_ids_struct_fallback(spark):
         for d, (n, du, rm, t) in _py_span_dedup(docs, 3).items()
     }
     assert got == want
+
+
+def test_span_dedup_rejects_out_of_bounds_integral_ids(spark):
+    """Integral ids outside [0, 2^43) would silently corrupt the
+    packed keeper — the per-row guard must raise instead."""
+    import pytest
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1 << 50, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-keeper bounds"):
+        span_dedup_stats(df, k=3).collect()

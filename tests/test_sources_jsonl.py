@@ -62,14 +62,44 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
             "{not json at all",
             '{"url": "https://ok.example/1", "warc_ts": "nonsense-ts", '
             '"html_b64": "", "text": "t", "lang": "en"}',
+            # valid JSON, undecodable base64: row survives, html NULL
+            '{"url": "https://ok.example/2", '
+            '"warc_ts": "2024-01-01T00:00:00", '
+            '"html_b64": "!!!not-base64!!!", "text": "t2", "lang": "en"}',
+            # valid JSON with NO url: must be quarantined, not vanish
+            '{"warc_ts": "2024-01-01T00:00:00", "text": "orphan", '
+            '"lang": "en"}',
         ],
     )
     clean, corrupt = read_pages_jsonl(spark, p, with_corrupt=True)
-    # the malformed JSON line is quarantined with its raw content
-    bad = corrupt.collect()
-    assert len(bad) == 1 and "not json" in bad[0]["raw_line"]
-    # the well-formed line with a bad timestamp stays a CLEAN row with
-    # NULL warc_ts (P2 freshness treats NULL as stale) — not poisoned
+    # the malformed JSON line AND the url-less line are quarantined
+    bad = sorted(
+        (r["raw_line"] or "") for r in corrupt.collect()
+    )
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("missing url" in b for b in bad)
     got = {r["url"]: r for r in clean.collect()}
-    assert len(got) == 6
+    assert len(got) == 7
+    # field-level damage degrades instead of poisoning or aborting:
+    # bad timestamp -> NULL warc_ts (P2 treats NULL as stale),
+    # bad base64 -> NULL html — the job never throws
     assert got["https://ok.example/1"]["warc_ts"] is None
+    assert got["https://ok.example/2"]["html"] is None
+    assert got["https://ok.example/2"]["text"] == "t2"
+
+
+def test_domain_col_handles_pathless_urls(spark):
+    """Path-less urls (no trailing '/') must extract their host, not
+    collapse into one '' quota bucket."""
+    from kgp.operators.sources import domain_col
+
+    df = spark.createDataFrame(
+        [("https://bare.example",), ("http://x.example/p/1",),
+         ("https://y.example/",)],
+        "url string",
+    )
+    got = sorted(
+        r["d"] for r in df.select(domain_col("url").alias("d")).collect()
+    )
+    assert got == ["bare.example", "x.example", "y.example"]
