@@ -88,6 +88,35 @@ def fingerprint_dup_groups(
     )
 
 
+# Rabin-Karp polynomial fingerprint constants: prime modulus keeps the
+# fold in BIGINT range (acc < M, so acc·B + h < ~1e15 ≪ 2^63 — no ANSI
+# overflow), and both engines do the identical exact integer arithmetic
+RH_MOD = 1_000_000_007
+RH_BASE = 1_000_003
+
+
+def rolling_fingerprint_col(text: Column) -> Column:
+    """ORDER-SENSITIVE document fingerprint: a Rabin-Karp polynomial
+    hash folded over the token stream, ``acc = (acc·B + h(tok)) mod M``
+    with ``h`` the top 48 bits of md5(token). Complements
+    `fingerprint_col` (sorted-token md5, order-INsensitive): permuted
+    token streams collide there but not here. Pure JVM HOF fold —
+    zero shuffle, pipelines into the scan; md5 runs once per token.
+    Byte-identical DuckDB twin via list_reduce over the same fold.
+    """
+    toks = F.split(text, " ", -1)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * RH_BASE
+            + F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+            % RH_MOD
+        )
+        % RH_MOD,
+    )
+
+
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash as a `bits`-char bitstring over distinct tokens.
 

@@ -106,13 +106,16 @@ DRIVER_WINDOW: list[str] = [
     # web-policy entries:
     "pages_domain_stats",
     "pages_domain_capped",
+    # pages_near_dup_pairs demoted (r02-green; X3/X4 stay in-window
+    # via dedup_minhash_lsh_pairs + dedup_minhash_clusters +
+    # dedup_embedding_pairs) to admit the rolling-hash fingerprint:
+    "docs_rolling_fingerprint",
     # -- keepers: unique-operator core, re-verified every round --
     "kg_triples",
     "pages_extracted_docs",
     "pages_segments",
     "pages_fresh_filter",
     "pages_linked_entities",  # semantics touched this round (NULL filter)
-    "pages_near_dup_pairs",
     "pages_html_media_features",
     # dedup_exact_groups demoted (r02-green; dedup family stays
     # in-window via simhash/minhash/embedding) for kg_pagerank;

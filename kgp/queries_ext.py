@@ -1954,6 +1954,32 @@ def q_kg_triangle_counts(spark, sf_dir):
 
 
 @register(
+    "docs_rolling_fingerprint",
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 1000000007
+            FOR t IN string_split(text, ' ')]),
+         (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rolling_fp
+FROM documents
+""",
+)
+def q_docs_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive Rabin-Karp document fingerprint
+    (kgp.operators.dedup.rolling_fingerprint_col): the rolling-hash
+    member of the fingerprint family — zero-shuffle JVM fold, the
+    DuckDB twin reduces the identical polynomial so the gate compares
+    the exact BIGINT hash values."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from kgp.operators.dedup import rolling_fingerprint_col
+
+    return docs.select(
+        "doc_id", rolling_fingerprint_col(F.col("text")).alias("rolling_fp")
+    )
+
+
+@register(
     "docs_span_dedup",
     """
 WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -566,3 +566,48 @@ def test_span_dedup_rejects_out_of_bounds_integral_ids(spark):
     )
     with pytest.raises(Exception, match="packed-keeper bounds"):
         span_dedup_stats(df, k=3).collect()
+
+
+def test_rolling_fingerprint_matches_python_and_is_order_sensitive(spark):
+    import hashlib
+
+    from kgp.operators.dedup import (
+        RH_BASE,
+        RH_MOD,
+        rolling_fingerprint_col,
+    )
+
+    def py_rh(text):
+        acc = 0
+        for t in text.split(" "):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % RH_MOD
+            acc = (acc * RH_BASE + h) % RH_MOD
+        return acc
+
+    docs = [(1, "a b c"), (2, "c b a"), (3, "a b c"), (4, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint_col(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got == {d: py_rh(t) for d, t in docs}
+    # order-sensitive (unlike the sorted-token fingerprint) …
+    assert got[1] != got[2]
+    # … but equal content in equal order collides, as a fingerprint must
+    assert got[1] == got[3]
+
+
+def test_rolling_fingerprint_is_shuffle_free(spark, tmp_path):
+    import pandas as pd
+
+    from kgp.operators.dedup import rolling_fingerprint_col
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": [1], "text": ["a b"]}).to_parquet(p)
+    df = spark.read.parquet(p).select(
+        "doc_id", rolling_fingerprint_col(F.col("text")).alias("fp")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -124,6 +124,10 @@ def test_driver_window_invariants():
         # r02-driver-green (co-occurrence in-window via kg_pagerank +
         # kg_triangle_counts, F4 via kg_triples edge_id)
         "kg_entity_cooccurrence", "pages_segment_triples",
+        # demoted late-r3 for docs_rolling_fingerprint; r02-driver-
+        # green (X3/X4 in-window via dedup_minhash_lsh_pairs +
+        # dedup_minhash_clusters + dedup_embedding_pairs)
+        "pages_near_dup_pairs",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (
