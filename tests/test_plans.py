@@ -179,3 +179,16 @@ def test_triangle_edges_materialized_once(spark):
     plan = _plan(triangle_counts(edges))
     assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" not in plan.split("ExistingRDD")[0], plan
+
+
+def test_domain_stats_prunes_html_from_scan(spark, tmp_path):
+    """W1 reads url/text/lang only — the binary html column (the bulk
+    of every page's bytes) must not appear in the scan's ReadSchema."""
+    from kgp.operators.sources import domain_stats
+
+    p = str(tmp_path / "pages")
+    synth_pages(spark, 20).write.parquet(p)
+    plan = _plan(domain_stats(spark.read.parquet(p)))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "html" not in scan, scan
+    assert "url" in scan and "text" in scan, scan
