@@ -2,8 +2,9 @@
 
 CLI markers (resume-safety contracts) and existence probes must work
 wherever the job's --output lives — local disk, hdfs://, s3a:// — so
-they go through Hadoop's FileSystem, not os.path (same rule as the
-streaming compaction swap in kgp/streaming.py `_hadoop_fs`). All
+they go through Hadoop's FileSystem, not os.path (the streaming
+compaction swap in kgp/streaming.py shares `_fs` for the same
+reason). All
 helpers are driver-only metadata operations: one RPC each, never data.
 """
 

@@ -26,6 +26,8 @@ straggler tasks bounded.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +40,20 @@ from kgp.operators.linking import (
 )
 
 SIMHASH_BITS = 32
+
+
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+
+
+def _parse_bytes(raw: object, default: int = 128 * 2**20) -> int:
+    """Spark byte-size strings: '134217728', '134217728b', '128m', '1g'.
+
+    A digits-only strip would misread '128m' as 128 bytes and disable
+    the narrow-input widening below on any cluster that sets the
+    config in suffixed form.
+    """
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtb]?)b?\s*", str(raw).lower())
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)] if m else default
 
 
 def exact_dup_groups(
@@ -214,17 +230,8 @@ def near_dup_pairs_minhash(
     files = docs.inputFiles()
     if 0 < len(files) < want:
         spark = docs.sparkSession
-        max_pb = int(
-            "".join(
-                ch
-                for ch in str(
-                    spark.conf.get(
-                        "spark.sql.files.maxPartitionBytes", "134217728b"
-                    )
-                )
-                if ch.isdigit()
-            )
-            or "134217728"
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()

@@ -48,6 +48,16 @@ def hash_split(
     """Append (bucket, split) columns: reproducible train/val/test
     assignment keyed on the document id."""
     fractions = fractions or DEFAULT_FRACTIONS
+    bounds = [ub for _, ub in fractions]
+    if bounds != sorted(set(bounds)) or bounds[-1] != 100:
+        # The when-chain has no terminal otherwise: a list whose last
+        # upper bound is < 100 would assign split=NULL to the tail
+        # buckets, and partitionBy("split") would silently drop those
+        # rows into __HIVE_DEFAULT_PARTITION__. Fail loudly instead.
+        raise ValueError(
+            "fractions must be strictly increasing cumulative "
+            f"percentages ending at 100, got {fractions!r}"
+        )
     b = hash_bucket(F.col(id_col))
     expr = None
     for name, ub in fractions:

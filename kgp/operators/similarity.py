@@ -145,6 +145,14 @@ def collect_centroid_matrix(
         if cached_sem == sem:
             return mat
     rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    if not rows:
+        # np.linalg.norm(axis=1) on the empty (0,) array raises an
+        # opaque AxisError deep in the cache helper; fail with intent
+        # (matches train_centroids_kmeans's empty-input contract).
+        raise ValueError(
+            "centroid table is empty — check the centroid sampling "
+            "predicate / training input"
+        )
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     C = np.array([r["_cv"] for r in rows], dtype=np.float64)
     norms = np.maximum(

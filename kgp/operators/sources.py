@@ -108,8 +108,11 @@ def read_pages_jsonl(
     (FAILFAST) nor vanish silently (DROPMALFORMED) — corrupt rows are
     quarantined and countable, and a valid-JSON row with NO url (the
     row key) is quarantined too, not dropped. ``with_corrupt=True``
-    additionally returns the quarantine frame (url if it parsed +
-    the raw line / drop reason). Field-level damage inside an
+    additionally returns the quarantine frame (url if it parsed, the
+    VERBATIM raw line, and a reason). The file is read as text and
+    parsed with from_json so the quarantine always carries the actual
+    line — a url-less row with a typo'd key ('uri') stays diagnosable
+    and re-parseable downstream. Field-level damage inside an
     otherwise-keyed row degrades instead of poisoning it: unparseable
     timestamps and undecodable base64 become NULL via the try_
     variants (under ANSI mode — the Spark 4 default — the strict
@@ -117,31 +120,42 @@ def read_pages_jsonl(
     treats NULL warc_ts as stale). Everything is JVM expressions —
     the decode pipelines into whole-stage codegen, no UDF.
     """
-    raw = spark.read.schema(JSONL_PAGES_WIRE).json(
-        path,
-        mode="PERMISSIVE",
-        columnNameOfCorruptRecord="_corrupt",
+    raw = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")  # json source skips blanks
+        .withColumn(
+            "j",
+            F.from_json(
+                "value",
+                JSONL_PAGES_WIRE,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt",
+                },
+            ),
+        )
     )
     clean = raw.filter(
-        F.col("_corrupt").isNull() & F.col("url").isNotNull()
+        F.col("j._corrupt").isNull() & F.col("j.url").isNotNull()
     ).select(
-        "url",
-        F.try_to_timestamp(F.col("warc_ts")).alias("warc_ts"),
+        F.col("j.url").alias("url"),
+        F.try_to_timestamp(F.col("j.warc_ts")).alias("warc_ts"),
         F.try_to_binary(
-            F.coalesce(F.col("html_b64"), F.lit("")), F.lit("base64")
+            F.coalesce(F.col("j.html_b64"), F.lit("")), F.lit("base64")
         ).alias("html"),
-        "text",
-        "lang",
+        F.col("j.text").alias("text"),
+        F.col("j.lang").alias("lang"),
     )
     if not with_corrupt:
         return clean
     corrupt = raw.filter(
-        F.col("_corrupt").isNotNull() | F.col("url").isNull()
+        F.col("j._corrupt").isNotNull() | F.col("j.url").isNull()
     ).select(
-        "url",
-        F.coalesce(F.col("_corrupt"), F.lit("<missing url>")).alias(
-            "raw_line"
-        ),
+        F.col("j.url").alias("url"),
+        F.col("value").alias("raw_line"),
+        F.when(F.col("j._corrupt").isNotNull(), F.lit("malformed json"))
+        .otherwise(F.lit("missing url"))
+        .alias("reason"),
     )
     return clean, corrupt
 

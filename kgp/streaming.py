@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgp import schemas
+from kgp import fsutil, schemas
 
 
 def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
@@ -137,14 +137,10 @@ def start_kg_stream(
     )
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for any Hadoop-supported URI — local, hdfs://,
-    s3a://. Directory swaps must go through this, not os.rename: the
-    sink of a cluster job is almost never on the driver's local disk."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
+# (FileSystem, Path) resolution lives in kgp.fsutil — directory swaps
+# must go through Hadoop's FileSystem, not os.rename: the sink of a
+# cluster job is almost never on the driver's local disk.
+_hadoop_fs = fsutil._fs
 
 
 def compact_triples_sink(spark: SparkSession, out_dir: str) -> int:

@@ -12,6 +12,21 @@ from kgp.operators.dedup import (
 from kgp.operators.similarity import topk_bruteforce, topk_lsh
 
 
+def test_parse_bytes_handles_spark_suffix_forms():
+    """'128m' misread as 128 bytes would silently disable the
+    narrow-input widening (est_tasks explodes past defaultParallelism
+    immediately) on any cluster using suffixed config values."""
+    from kgp.operators.dedup import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 * 2**20
+    assert _parse_bytes("128M") == 128 * 2**20
+    assert _parse_bytes("1g") == 2**30
+    assert _parse_bytes("64k") == 64 * 2**10
+    assert _parse_bytes("garbage") == 128 * 2**20  # safe default
+
+
 def test_dedup_exact_keeps_min_id(spark):
     docs = spark.createDataFrame(
         [(3, "a b c"), (1, "a b c"), (2, "x y"), (9, "x y"), (5, "solo")],

@@ -80,6 +80,17 @@ def test_hash_split_deterministic_and_uniform(spark):
     assert a == b
 
 
+def test_hash_split_rejects_incomplete_fractions(spark):
+    """A fractions list not ending at 100 would leave tail buckets
+    split=NULL and partitionBy('split') would silently drop them into
+    __HIVE_DEFAULT_PARTITION__ — must fail loudly instead."""
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="ending at 100"):
+        hash_split(docs, fractions=[("train", 95)])
+    with pytest.raises(ValueError, match="increasing"):
+        hash_split(docs, fractions=[("a", 90), ("b", 80), ("c", 100)])
+
+
 def test_hash_split_is_shuffle_free(spark):
     docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     plan = hash_split(docs)._jdf.queryExecution().executedPlan().toString()

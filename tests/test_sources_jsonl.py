@@ -72,13 +72,14 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
         ],
     )
     clean, corrupt = read_pages_jsonl(spark, p, with_corrupt=True)
-    # the malformed JSON line AND the url-less line are quarantined
-    bad = sorted(
-        (r["raw_line"] or "") for r in corrupt.collect()
-    )
+    # the malformed JSON line AND the url-less line are quarantined,
+    # each carrying its VERBATIM raw line (diagnosable/re-parseable)
+    # plus a reason
+    bad = {r["reason"]: (r["raw_line"] or "") for r in corrupt.collect()}
     assert len(bad) == 2
-    assert any("not json" in b for b in bad)
-    assert any("missing url" in b for b in bad)
+    assert "not json" in bad["malformed json"]
+    assert "orphan" in bad["missing url"]  # content preserved, not a
+    # '<missing url>' placeholder
     got = {r["url"]: r for r in clean.collect()}
     assert len(got) == 7
     # field-level damage degrades instead of poisoning or aborting:
