@@ -242,3 +242,67 @@ def lang_id(
         F.col("_b.lang").alias("pred_lang"),
         F.col("_b.hits").cast("long").alias("hits"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms ranked by an
+    integer-exact tf·idf surrogate.
+
+    Classic tf·idf weighs tf · ln(N/df); ln is transcendental and the
+    cross-engine hash gate forbids floats whose last ULP can differ
+    between libm implementations, so the score is the integer product
+    tf · (N − df) — like tf·idf it rises with term frequency and falls
+    with document frequency, and it is exactly reproducible in any
+    engine. Total tiebreak (score DESC, df ASC, term ASC) makes the
+    per-doc top-k deterministic ((doc, term) is unique after the tf
+    aggregation, so the ordering is total).
+
+    Physical shape at 100 TB: explode → groupBy (doc, term) with
+    map-side partial aggregation; the tf table is materialized ONCE
+    (eager localCheckpoint — measured: Catalyst does NOT reuse the
+    exchange here, so without it the df rollup re-scans and
+    re-explodes the whole corpus) and the document-frequency table is
+    a partial-agg rollup of it; the tf ⋈ df join and the per-doc
+    window each shuffle on their key, and the rank≤k filter pushes
+    down as WindowGroupLimit. The df side is vocabulary-sized (not
+    corpus-sized) and AQE picks broadcast when it fits. No driver
+    collect: N rides in as a 1-row broadcast cross join, counted from
+    the materialized tf table, not a third corpus scan. On clusters
+    with dynamic allocation swap localCheckpoint for a persist or a
+    parquet stage (same caveat as kgp/operators/graph.py).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    ).localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # N = docs with ≥1 token (identical to corpus size unless a doc
+    # has empty text; those docs carry no terms to rank anyway)
+    ndocs = tf.agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(
+            F.col("score").desc(), F.col("df").asc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tf", "df", "score")
+    )

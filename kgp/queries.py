@@ -146,7 +146,11 @@ DRIVER_WINDOW: list[str] = [
     # the Gopher repetition-rules entry:
     "docs_repetition_stats",
     "source_strategy_dispatch",
-    "events_value_percentiles_exact",
+    # events_value_percentiles_exact demoted (r02-green; the pinned
+    # floor-index percentile rule is stable and stays on the in-repo
+    # gate) to admit the keyword-extraction entry, which has no driver
+    # row yet:
+    "docs_tfidf_top_terms",
     "events_asof_last_purchase",
     "events_range_pairs",
 ]

@@ -2098,3 +2098,37 @@ def q_docs_decontamination(spark, sf_dir):
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
     )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    """
+WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tk AS (SELECT doc_id, unnest(w) AS term FROM wt),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf * (n.n_docs - dfq.df) AS BIGINT) AS score,
+             row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * (n.n_docs - dfq.df) DESC,
+                          dfq.df ASC, tf.term ASC) AS rnk
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+FROM s WHERE rnk <= 3
+""",
+)
+def q_docs_tfidf_top_terms(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by the integer-exact
+    tf·(N−df) surrogate for tf·idf (kgp.operators.textstats
+    .tfidf_top_terms — ln-free so both engines rank on identical
+    integers; total (score, df, term) tiebreak keeps the window
+    deterministic)."""
+    from kgp.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3).withColumn(
+        "rnk", F.col("rnk").cast("long")
+    )

@@ -626,3 +626,31 @@ def test_rolling_fingerprint_is_shuffle_free(spark, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_top_terms_known_corpus(spark):
+    """Hand-checked scores on a 3-doc corpus: score = tf * (N - df),
+    ties broken (df ASC, term ASC)."""
+    from kgp.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana banana common common"),
+            (3, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # N=3; df: apple 1, banana 2, cherry 1, common 3
+    # doc1: apple 2*(3-1)=4 > banana 1*(3-2)=1 > common 0
+    assert got[(1, 1)] == ("apple", 4)
+    assert got[(1, 2)] == ("banana", 1)
+    # doc2: banana 2*1=2 > common 2*0=0
+    assert got[(2, 1)] == ("banana", 2)
+    assert got[(2, 2)] == ("common", 0)
+    # doc3: cherry 1*2=2 > common 0
+    assert got[(3, 1)] == ("cherry", 2)

@@ -192,3 +192,22 @@ def test_domain_stats_prunes_html_from_scan(spark, tmp_path):
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "html" not in scan, scan
     assert "url" in scan and "text" in scan, scan
+
+
+def test_tfidf_scans_corpus_once(spark, tmp_path):
+    """The df rollup and the N count must feed from the materialized
+    tf table (Catalyst does not reuse the exchange here) — exactly one
+    parquet scan, pruned to (doc_id, text)."""
+    from kgp.operators.textstats import tfidf_top_terms
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"w{i % 3} common tail") for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = tfidf_top_terms(spark.read.parquet(p))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan  # scan happened
+    # inside the eager localCheckpoint; all consumers read its blocks
+    assert "WindowGroupLimit" in plan, plan  # rank<=k pushed down

@@ -128,6 +128,10 @@ def test_driver_window_invariants():
         # green (X3/X4 in-window via dedup_minhash_lsh_pairs +
         # dedup_minhash_clusters + dedup_embedding_pairs)
         "pages_near_dup_pairs",
+        # demoted late-r3 for docs_tfidf_top_terms; r02-driver-green
+        # (the pinned floor-index percentile rule is stable; sketch
+        # family still exercised by the rows-only approx twins)
+        "events_value_percentiles_exact",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (
