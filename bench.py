@@ -177,6 +177,19 @@ def main() -> None:
     )
     span_dedup_sec = round(best, 3)
 
+    # per-doc keyword extraction (explode → tf/df rollups → windowed
+    # top-k; corpus scanned once via the eager tf materialization) —
+    # side metric. Construction included: tfidf_top_terms eagerly
+    # localCheckpoints the tf table at build time.
+    from kgp.operators.textstats import tfidf_top_terms
+
+    best, _ = timed(
+        "tfidf_top_terms",
+        lambda: tfidf_top_terms(docs).count(),
+        record=False,
+    )
+    tfidf_sec = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -191,6 +204,7 @@ def main() -> None:
                 "minhash_fast_sec": minhash_fast_sec,
                 "pagerank_sec": pagerank_sec,
                 "span_dedup_sec": span_dedup_sec,
+                "tfidf_sec": tfidf_sec,
                 "kg_docs_per_sec": round(n_pages / kg_sec, 1),
                 "kg_docs_per_sec_fused": round(n_pages / fused_sec, 1),
                 "kg_pages": n_pages,
