@@ -222,3 +222,28 @@ def cap_per_key(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def blocklist_filter(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Stage-one URL filtering: drop every page whose registrable
+    domain appears in the blocklist (the C4 badlist / RefinedWeb
+    URL-filter step — the cheapest gate in the pipeline, so it runs
+    FIRST, before any content work touches the bytes).
+
+    ``blocklist`` needs a ``domain`` column. Broadcast LEFT ANTI join:
+    real blocklists are O(100k-1M) domains — a few MB, far under the
+    broadcast threshold — so the corpus side never shuffles; the
+    filter runs map-side against the broadcast hash relation and
+    composes with scan pruning (only ``url`` plus whatever columns the
+    consumer selects are read).
+    """
+    bl = F.broadcast(
+        blocklist.select(F.col("domain").alias("_bl_domain")).distinct()
+    )
+    return (
+        pages.withColumn("_dom", domain_col(url_col))
+        .join(bl, F.col("_dom") == F.col("_bl_domain"), "left_anti")
+        .drop("_dom")
+    )

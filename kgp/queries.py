@@ -126,7 +126,10 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_pairs",
     "kg_canonical_entities",
     "kg_entity_doc_counts_salted",
-    "svo_pattern_triples",
+    # svo_pattern_triples demoted (r01+r02-driver-green; X1 stays on
+    # the in-repo gate) to admit the stage-one URL blocklist filter,
+    # which has no driver row yet:
+    "pages_blocklist_filtered",
     "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce + ann_topk_lsh
     # (both r01+r02 green) demoted, T1 covered in-window by ivf; the
     # lsh slot admits the transitive fuzzy-dedup clusters entry:

@@ -801,3 +801,47 @@ def q_pages_embeddings(spark, sf_dir):
             * 10000
         ).cast("long").alias("l2_norm_e4"),
     )
+
+
+@register(
+    "pages_blocklist_filtered",
+    f"""
+WITH {_PAGES_CTE},
+d AS (SELECT url, text, {_DOMAIN_SQL} AS domain FROM pages),
+bl AS (SELECT DISTINCT domain FROM d
+       WHERE substr(md5(domain), 1, 1) IN ('0', '1', '2', '3')),
+surv AS (SELECT * FROM d WHERE domain NOT IN (SELECT domain FROM bl))
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         AS total_tokens
+FROM surv GROUP BY 1
+""",
+    tier=1,
+)
+def q_pages_blocklist_filtered(spark, sf_dir):
+    """W3 stage-one URL filtering (kgp.operators.sources
+    .blocklist_filter): survivors of a deterministic synthetic domain
+    blocklist (domains whose md5 hex starts 0-3, ~25% of sites — md5
+    is byte-identical in both engines so the blocklist itself is
+    engine-exact), profiled per domain. The corpus side never
+    shuffles for the filter: broadcast LEFT ANTI join."""
+    from kgp.operators.sources import blocklist_filter, domain_col
+
+    p = _pages(spark, sf_dir).select("url", "text")
+    bl = (
+        p.select(domain_col("url").alias("domain"))
+        .distinct()
+        .filter(
+            F.substring(F.md5(F.col("domain")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+    )
+    surv = blocklist_filter(p, bl)
+    return surv.groupBy(domain_col("url").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.size(F.split(F.col("text"), " ", -1)))
+        .cast("long")
+        .alias("total_tokens"),
+    )

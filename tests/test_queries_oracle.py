@@ -132,6 +132,9 @@ def test_driver_window_invariants():
         # (the pinned floor-index percentile rule is stable; sketch
         # family still exercised by the rows-only approx twins)
         "events_value_percentiles_exact",
+        # demoted late-r3 for pages_blocklist_filtered; r01+r02-
+        # driver-green (X1 pattern extraction stable two rounds)
+        "svo_pattern_triples",
     }
     outside = set(names[50:])
     assert outside <= r02_green_or_rows_only, (

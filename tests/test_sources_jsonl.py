@@ -104,3 +104,23 @@ def test_domain_col_handles_pathless_urls(spark):
         r["d"] for r in df.select(domain_col("url").alias("d")).collect()
     )
     assert got == ["bare.example", "x.example", "y.example"]
+
+
+def test_blocklist_filter_drops_only_listed_domains(spark):
+    """W3: listed domains vanish entirely, unlisted survive untouched;
+    the corpus side must not shuffle (broadcast LEFT ANTI)."""
+    from kgp.operators.sources import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [("https://bad.example/a", "t1"), ("https://bad.example/b", "t2"),
+         ("https://ok.example/c", "t3"), ("https://ok.example", "t4")],
+        "url string, text string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    got = sorted(r["url"] for r in blocklist_filter(pages, bl).collect())
+    assert got == ["https://ok.example", "https://ok.example/c"]
+    plan = (
+        blocklist_filter(pages, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
