@@ -161,8 +161,14 @@ def triangle_counts(
     nodes: DataFrame | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Per-node triangle participation + degree over canonical
-    undirected ``edges(src, dst)`` (distinct pairs with src < dst).
+    """Per-node triangle participation + degree over undirected
+    ``edges(src, dst)``. Input is canonicalized internally —
+    least/greatest orientation, self-loops dropped, duplicates
+    collapsed — so reversed or duplicated input pairs count each
+    undirected edge once instead of silently inflating degree and
+    triangle counts; already-canonical input passes through the
+    dropDuplicates unchanged (idempotent, one extra map-side-partial
+    shuffle absorbed by the materialize cut that follows).
 
     Triangle enumeration is the two-self-join wedge close: e1(a,b) ⋈
     e2(b,c) forms wedges, closed by probing e3(a,c); the a<b<c
@@ -187,7 +193,14 @@ def triangle_counts(
     4× for the co-occurrence graph). On clusters swap for a reliable
     checkpoint, or pre-write edges bucketed by src (kgp.catalog).
     """
-    e = edges.select("src", "dst")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
     if materialize:
         e = e.localCheckpoint(eager=True)
     deg = (

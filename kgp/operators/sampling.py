@@ -47,9 +47,9 @@ def hash_split(
 ) -> DataFrame:
     """Append (bucket, split) columns: reproducible train/val/test
     assignment keyed on the document id."""
-    fractions = fractions or DEFAULT_FRACTIONS
+    fractions = DEFAULT_FRACTIONS if fractions is None else fractions
     bounds = [ub for _, ub in fractions]
-    if bounds != sorted(set(bounds)) or bounds[-1] != 100:
+    if not bounds or bounds != sorted(set(bounds)) or bounds[-1] != 100:
         # The when-chain has no terminal otherwise: a list whose last
         # upper bound is < 100 would assign split=NULL to the tail
         # buckets, and partitionBy("split") would silently drop those

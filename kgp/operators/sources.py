@@ -140,9 +140,11 @@ def read_pages_jsonl(
     ).select(
         F.col("j.url").alias("url"),
         F.try_to_timestamp(F.col("j.warc_ts")).alias("warc_ts"),
-        F.try_to_binary(
-            F.coalesce(F.col("j.html_b64"), F.lit("")), F.lit("base64")
-        ).alias("html"),
+        # absent/null html_b64 stays NULL html (absent ≠ empty bytes),
+        # matching the undecodable-base64 degrade-to-NULL path below
+        F.try_to_binary(F.col("j.html_b64"), F.lit("base64")).alias(
+            "html"
+        ),
         F.col("j.text").alias("text"),
         F.col("j.lang").alias("lang"),
     )
@@ -160,13 +162,19 @@ def read_pages_jsonl(
     return clean, corrupt
 
 
-# URL → registrable domain, the grouping key of every per-site web
-# pipeline policy (RefinedWeb/C4 run URL filtering and per-site quotas
-# as stage one, before any content work). No trailing '/': path-less
-# urls (https://example.com) are common in real crawls and a '/'-
-# anchored pattern would extract '' for ALL of them, collapsing
-# unrelated hosts into one quota bucket.
-DOMAIN_PAT = r"^https?://([^/]+)"
+# URL → host, the grouping key of every per-site web pipeline policy
+# (RefinedWeb/C4 run URL filtering and per-site quotas as stage one,
+# before any content work). No trailing '/': path-less urls
+# (https://example.com) are common in real crawls and a '/'-anchored
+# pattern would extract '' for ALL of them, collapsing unrelated hosts
+# into one quota bucket. Userinfo and port are STRIPPED — raw-authority
+# extraction would let 'https://u@bad.example/' or
+# 'https://bad.example:8080/x' slip past a 'bad.example' blocklist
+# entry and split one host across quota buckets. (This is host-level,
+# not PSL registrable-domain: sub.example.co.uk stays distinct from
+# example.co.uk — a public-suffix collapse needs the PSL list, which
+# is a broadcast-join policy choice left to the caller.)
+DOMAIN_PAT = r"^https?://(?:[^/?#@]*@)?([^/:?#]+)"
 
 
 def domain_col(url: Column | str) -> Column:

@@ -353,9 +353,12 @@ def q_pages_fresh(spark, sf_dir):
 # per-domain web-pipeline policies (RefinedWeb/C4 stage-one shape)
 # ---------------------------------------------------------------------------
 
-# mirrors kgp.operators.sources.DOMAIN_PAT (no trailing '/' — see
-# the comment there about path-less urls)
-_DOMAIN_SQL = "regexp_extract(url, '^https?://([^/]+)', 1)"
+# mirrors kgp.operators.sources.DOMAIN_PAT (no trailing '/', userinfo
+# and port stripped — see the comment there); RE2 and java.util.regex
+# agree on this pattern
+_DOMAIN_SQL = (
+    "regexp_extract(url, '^https?://(?:[^/?#@]*@)?([^/:?#]+)', 1)"
+)
 DOMAIN_CAP_K = 100  # caps the zipf head (top-9 domains at n=5000)
 
 

@@ -89,6 +89,10 @@ def test_hash_split_rejects_incomplete_fractions(spark):
         hash_split(docs, fractions=[("train", 95)])
     with pytest.raises(ValueError, match="increasing"):
         hash_split(docs, fractions=[("a", 90), ("b", 80), ("c", 100)])
+    # empty list is a descriptive ValueError, not IndexError (and not
+    # a silent fallback to the default fractions)
+    with pytest.raises(ValueError, match="ending at 100"):
+        hash_split(docs, fractions=[])
 
 
 def test_hash_split_is_shuffle_free(spark):
@@ -206,3 +210,30 @@ def test_triangle_counts_randomized_vs_python(spark):
         for r in triangle_counts(edges, nodes).collect()
     }
     assert got == {n: (deg[n], tri[n]) for n in ids}
+
+
+def test_triangle_counts_canonicalizes_dirty_input(spark):
+    """Duplicate, reversed, and self-loop input pairs must not inflate
+    degree or triangle counts — the operator canonicalizes internally
+    (least/greatest, src<dst filter, dropDuplicates)."""
+    from kgp.operators.graph import triangle_counts
+
+    clean = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    dirty = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("c", "b"),
+         ("c", "d"), ("d", "c"), ("d", "d")],
+        "src string, dst string",
+    )
+    want = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(clean).collect()
+    }
+    got = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(dirty).collect()
+    }
+    assert got == want
+    assert want["a"] == (2, 1) and want["d"] == (1, 0)

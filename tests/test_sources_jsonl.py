@@ -106,6 +106,80 @@ def test_domain_col_handles_pathless_urls(spark):
     assert got == ["bare.example", "x.example", "y.example"]
 
 
+def test_domain_col_strips_userinfo_and_port(spark):
+    """Blocklist evasion via authority decoration: userinfo and port
+    must not ride along, or 'https://u@bad.example/' slips past a
+    'bad.example' blocklist entry and one host splits across quota
+    buckets. The DuckDB twin must agree byte-for-byte."""
+    import duckdb
+
+    from kgp.operators.sources import blocklist_filter, domain_col
+    from kgp.queries_pages import _DOMAIN_SQL
+
+    urls = [
+        "https://bad.example:8080/x",
+        "https://u@bad.example/",
+        "https://u:pw@bad.example:443/y?q=1",
+        "https://ok.example?a@b",
+        "http://plain.example/p",
+        "https://frag.example#sec",
+    ]
+    want = [
+        "bad.example",
+        "bad.example",
+        "bad.example",
+        "ok.example",
+        "plain.example",
+        "frag.example",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["d"]
+        for r in df.select(domain_col("url").alias("d"))
+        .orderBy("url")
+        .collect()
+    ]
+    assert got == [d for _, d in sorted(zip(urls, want))]
+    duck = [
+        r[0]
+        for r in duckdb.execute(
+            f"SELECT {_DOMAIN_SQL} FROM (SELECT unnest(?) AS url) "
+            "ORDER BY url",
+            [urls],
+        ).fetchall()
+    ]
+    assert duck == got  # cross-engine twin agreement
+    # the decorated forms no longer evade the blocklist
+    pages = df.withColumn("text", df.url)
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    surv = sorted(r["url"] for r in blocklist_filter(pages, bl).collect())
+    assert surv == [
+        "http://plain.example/p",
+        "https://frag.example#sec",
+        "https://ok.example?a@b",
+    ]
+
+
+def test_jsonl_missing_html_b64_yields_null_html(spark, tmp_path):
+    """Absent html is NULL, not b'': the absent-vs-present distinction
+    survives ingest, matching the undecodable-base64 degrade path."""
+    p = str(tmp_path / "nohtml.jsonl")
+    with open(p, "w") as f:
+        f.write(
+            '{"url": "https://nohtml.example/1", '
+            '"warc_ts": "2024-01-01T00:00:00", '
+            '"text": "t", "lang": "en"}\n'
+        )
+        f.write(
+            '{"url": "https://nohtml.example/2", '
+            '"warc_ts": "2024-01-01T00:00:00", "html_b64": null, '
+            '"text": "t", "lang": "en"}\n'
+        )
+    got = {r["url"]: r for r in read_pages_jsonl(spark, p).collect()}
+    assert got["https://nohtml.example/1"]["html"] is None
+    assert got["https://nohtml.example/2"]["html"] is None
+
+
 def test_blocklist_filter_drops_only_listed_domains(spark):
     """W3: listed domains vanish entirely, unlisted survive untouched;
     the corpus side must not shuffle (broadcast LEFT ANTI)."""
