@@ -17,8 +17,8 @@ CC builds on). Each round does two DataFrame steps:
 
 Step 2 makes the round count O(log diameter): a 30-node same-as chain
 (transitive near-dup names from LSH blocking) converges in ~6 rounds
-instead of 29. `localCheckpoint()` every round cuts the lineage chain
-(SURVEY §4.4) so the plan doesn't grow exponentially; convergence is
+instead of 29. A kgp.materialize cut every round truncates the lineage
+chain (SURVEY §4.4) so the plan doesn't grow exponentially; convergence is
 detected by a changed-labels count and the fixpoint asserted, never
 assumed.
 
@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kgp.materialize import materialize as _mat
 
 
 def _cc_local(spark, collected_edges) -> DataFrame:
@@ -94,16 +96,15 @@ def connected_components(
         sample = raw.limit(small_graph_threshold + 1).collect()
         if len(sample) <= small_graph_threshold:
             return _cc_local(edges.sparkSession, sample)
-    e = (
-        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    e = _mat(
+        raw.union(
+            raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
     )
-    labels = (
+    labels = _mat(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -127,18 +128,16 @@ def connected_components(
             F.col("node").alias("_c_node"),
             F.col("component").alias("_c_comp"),
         )
-        new_labels = (
+        new_labels = _mat(
             stepped.join(
                 lut, stepped.component == F.col("_c_node"), "left"
-            )
-            .select(
+            ).select(
                 "node",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("_c_comp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -198,7 +197,7 @@ def canonicalize_with_alias(
     before resolution" — standard practice for a multi-consumer
     intermediate."""
     if materialize:
-        entities = entities.localCheckpoint(eager=True)
+        entities = _mat(entities)
     return canonicalize_entities(
         entities, same_as_from_alias(entities, alias_df)
     )

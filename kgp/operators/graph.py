@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgp.materialize import materialize as _mat
+
 PR_INIT = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 PR_BASE = 150_000    # (1 - damping) * scale == 0.15 * 1e6
 
@@ -91,13 +93,12 @@ def pagerank_int(
     probe `limit(k+1).collect()` doubles as the fetch. Pass
     ``small_graph_threshold=0`` to force the distributed loop.
 
-    ``materialize`` (default) eagerly localCheckpoints the
-    loop-invariant degree-annotated edge table and the node table
-    before iterating — without it every iteration's plan replays the
-    whole edge-derivation lineage (measured 51 exchanges for 3
-    iterations over the co-occurrence pipeline vs ~9 with the cut).
-    On clusters with dynamic allocation swap localCheckpoint for a
-    reliable checkpoint dir, or pre-write edges with
+    ``materialize`` (default) eagerly materializes the loop-invariant
+    degree-annotated edge table and the node table before iterating
+    (kgp.materialize — conf-switchable primitive) — without it every
+    iteration's plan replays the whole edge-derivation lineage
+    (measured 51 exchanges for 3 iterations over the co-occurrence
+    pipeline vs ~9 with the cut). Alternatively pre-write edges with
     kgp.catalog's bucketed layout (bucket by src) so the per-iteration
     rank join needs no edge-side exchange at all.
     """
@@ -131,8 +132,8 @@ def pagerank_int(
     # (src, dst, deg) is loop-invariant
     out = edges.join(deg, "src")
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+        out = _mat(out)
+        nodes = _mat(nodes)
     ranks = nodes.select("id", F.lit(PR_INIT).cast("long").alias("rank"))
     for i in range(iters):
         contribs = (
@@ -152,7 +153,7 @@ def pagerank_int(
             .alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _mat(ranks)
     return ranks
 
 
@@ -185,13 +186,13 @@ def triangle_counts(
     it changes the join sizes, not the counts. Head-entity hubs are
     the AQE skew-split case either way.
 
-    ``materialize`` (default) eagerly localCheckpoints the edge table
-    first: it is referenced four times (three join sides + degree) and
-    alias-differing projections defeat Spark's ReusedExchange here, so
-    an un-cut lineage replays the whole edge derivation per reference
-    (observed: the incidence self-join + count-filter subplan planned
-    4× for the co-occurrence graph). On clusters swap for a reliable
-    checkpoint, or pre-write edges bucketed by src (kgp.catalog).
+    ``materialize`` (default) eagerly materializes the canonical edge
+    table first (kgp.materialize): it is referenced four times (three
+    join sides + degree) and alias-differing projections defeat
+    Spark's ReusedExchange here, so an un-cut lineage replays the
+    whole edge derivation per reference (observed: the incidence
+    self-join + count-filter subplan planned 4× for the co-occurrence
+    graph). Or pre-write edges bucketed by src (kgp.catalog).
     """
     e = (
         edges.select(
@@ -202,7 +203,7 @@ def triangle_counts(
         .dropDuplicates(["src", "dst"])
     )
     if materialize:
-        e = e.localCheckpoint(eager=True)
+        e = _mat(e)
     deg = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))

@@ -228,18 +228,20 @@ def lsh_candidate_pairs(
     band_key); AQE splits hot buckets. distinct() collapses pairs found
     in multiple bands before any downstream scoring.
 
-    materialize=True (default) eagerly localCheckpoints the bands
-    table first: the two join sides rename the id column differently,
-    so their exchanges never canonicalize equal and Spark recomputes
-    the ENTIRE upstream digest pipeline (sha256+md5 per shingle) for
-    both sides — measured 1.8 s of the 5.3 s sf0.1 warm time. The
-    bands table is tiny (bands × ~50 B per doc), so materializing it
-    once is the right trade at any scale; on clusters with dynamic
-    allocation swap localCheckpoint for a reliable checkpoint dir
-    (executor loss discards localCheckpoint blocks).
+    materialize=True (default) eagerly materializes the bands table
+    first (kgp.materialize — localCheckpoint locally, conf-switchable
+    to a reliable checkpoint or persist on clusters): the two join
+    sides rename the id column differently, so their exchanges never
+    canonicalize equal and Spark recomputes the ENTIRE upstream digest
+    pipeline (sha256+md5 per shingle) for both sides — measured 1.8 s
+    of the 5.3 s sf0.1 warm time. The bands table is tiny (bands ×
+    ~50 B per doc), so materializing it once is the right trade at any
+    scale.
     """
     if materialize:
-        bands_df = bands_df.localCheckpoint(eager=True)
+        from kgp.materialize import materialize as _mat
+
+        bands_df = _mat(bands_df)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )

@@ -130,6 +130,62 @@ def mentions_arrow(
     )
 
 
+MENTION_ARRAY_SCHEMA = (
+    "url string, mentions array<struct<"
+    "surface:string,label:string,first_offset:bigint>>"
+)
+
+
+def mention_arrays_arrow(
+    docs: DataFrame,
+    gaz: list[tuple[str, str]] | None = None,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """One row per doc: (url, mentions array<struct<surface,label,
+    first_offset>>) — the model-extractor UDF contract
+    (/root/reference/src/kg/base.py:4-7 returns the per-document
+    mention list; here it lands as an Arrow struct array instead of
+    exploded rows).
+
+    This is the shape kgp.plans.pipeline.cap_mention_array_col picks
+    up from: because the array stays in-row, the downstream label
+    filter + first-occurrence cap needs NO Window and NO shuffle —
+    exactly the fused-plan property of the relational gazetteer path.
+    The extraction itself is the same vectorized str.find batch loop
+    as mentions_arrow; a real model (SpacyMentionExtractor.
+    extract_batch) slots in by replacing the inner loop, returning the
+    same list-of-(surface, label, offset) per document.
+    """
+    gaz = gaz or PAGES_SURFACES
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            padded = " " + pdf[text_col].astype("string").fillna("") + " "
+            per_doc: list[list[dict]] = [[] for _ in range(len(pdf))]
+            for surface, label in gaz:
+                pos = padded.str.find(" " + surface + " ")
+                for i, p in enumerate(pos.to_numpy()):
+                    if p >= 0:
+                        per_doc[i].append(
+                            {
+                                "surface": surface,
+                                "label": label,
+                                "first_offset": int(p),
+                            }
+                        )
+            yield pd.DataFrame(
+                {
+                    "url": pdf[id_col].astype(str),
+                    "mentions": per_doc,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        extract, schema=MENTION_ARRAY_SCHEMA
+    )
+
+
 class SpacyMentionExtractor:
     """Real-model plug-in, used when en_core_web_sm is importable.
 

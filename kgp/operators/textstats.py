@@ -264,7 +264,7 @@ def tfidf_top_terms(
 
     Physical shape at 100 TB: explode → groupBy (doc, term) with
     map-side partial aggregation; the tf table is materialized ONCE
-    (eager localCheckpoint — measured: Catalyst does NOT reuse the
+    (kgp.materialize — measured: Catalyst does NOT reuse the
     exchange here, so without it the df rollup re-scans and
     re-explodes the whole corpus) and the document-frequency table is
     a partial-agg rollup of it; the tf ⋈ df join and the per-doc
@@ -272,16 +272,20 @@ def tfidf_top_terms(
     down as WindowGroupLimit. The df side is vocabulary-sized (not
     corpus-sized) and AQE picks broadcast when it fits. No driver
     collect: N rides in as a 1-row broadcast cross join, counted from
-    the materialized tf table, not a third corpus scan. On clusters
-    with dynamic allocation swap localCheckpoint for a persist or a
-    parquet stage (same caveat as kgp/operators/graph.py).
+    the materialized tf table, not a third corpus scan. Cluster
+    deployments switch the materialization primitive via the
+    kgp.materialize session conf.
     """
+    from kgp.materialize import materialize as _mat
+
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").cast("long").alias("tf")
-    ).localCheckpoint(eager=True)
+    tf = _mat(
+        toks.groupBy(id_col, "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # N = docs with ≥1 token (identical to corpus size unless a doc
     # has empty text; those docs carry no terms to rank anyway)

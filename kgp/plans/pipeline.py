@@ -78,6 +78,44 @@ def capped_mentions_col(
     )
 
 
+def cap_mention_array_col(mentions: Column) -> Column:
+    """The A1/P3 cap applied to an ALREADY-EXTRACTED mention array
+    (``array<struct<surface,label,first_offset>>`` — the natural
+    output shape of a model extractor UDF): label filter, pinned
+    (first_offset, surface) first-occurrence order, cap at
+    MAX_ENTITIES_PER_DOC — all in-row JVM higher-order functions, so
+    the cap costs no Window and no shuffle regardless of where the
+    mentions came from.
+
+    This is the "same fusion applies after the UDF" path: gazetteer
+    extraction folds the label filter at plan build
+    (capped_mentions_col), a model UDF can't, so it runs here as an
+    array filter. Semantics are identical — filter before cap
+    (entity_extraction.py:30 then gremlin_client.py:102-135), sort on
+    a re-laid-out (first_offset, surface, label) struct for the pinned
+    tie-break, slice, re-project.
+    """
+    kept = F.filter(
+        mentions, lambda m: m["label"].isin(list(ENTITY_LABELS))
+    )
+    ordered = F.transform(
+        kept,
+        lambda m: F.struct(
+            m["first_offset"].alias("first_offset"),
+            m["surface"].alias("surface"),
+            m["label"].alias("label"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.sort_array(ordered), 1, MAX_ENTITIES_PER_DOC),
+        lambda m: F.struct(
+            m["surface"].alias("surface"),
+            m["label"].alias("label"),
+            m["first_offset"].alias("first_offset"),
+        ),
+    )
+
+
 def fused_capped_mentions(
     pages: DataFrame, gaz: list[tuple[str, str]] | None = None
 ) -> DataFrame:

@@ -1843,21 +1843,21 @@ de AS (SELECT DISTINCT doc_id,
 
 def _entity_incidence(spark, sf_dir):
     """Distinct doc→entity incidence `de(doc_id, eid)`, materialized
-    once (localCheckpoint): every graph-analytics consumer fans out
+    once (kgp.materialize): every graph-analytics consumer fans out
     from it (edges AND nodes, actioned separately), and without the
     cut the scan→window→distinct prefix replays per action. At scale
     this is the natural stage boundary (the incidence table is the
     KG's smallest projection)."""
+    from kgp.materialize import materialize as _mat
     from kgp.operators.triples import normalize_entity_id
     from kgp.queries import _doc_capped
 
-    return (
+    return _mat(
         _doc_capped(spark, sf_dir)
         .select(
             "doc_id", normalize_entity_id(F.col("surface")).alias("eid")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
 
