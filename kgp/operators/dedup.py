@@ -254,8 +254,29 @@ def near_dup_pairs_minhash(
         ),
         id_col,
     )
+    # Verification touches CANDIDATE docs only: semi-join the corpus
+    # down to ids that appear in some pair BEFORE re-computing shingle
+    # sets for the scoring joins. Without this, each scoring join side
+    # re-shingles the whole corpus (shingle construction is the
+    # dominant cost of the entire operator — measured ~10 s per 200 k
+    # docs per pass at local[32], and scoring adds two passes); with
+    # it, the corpus is shingled once (signature) plus once over the
+    # ~pair-sized candidate subset. cand is now consumed twice (the id
+    # probe and the scoring join), so materialize the pair table once —
+    # it is pair-sized, and lsh_candidate_pairs only materializes the
+    # BANDS table, so re-running cand's lineage would repeat the band
+    # self-join shuffle.
+    from kgp.materialize import materialize as _mat
+
+    cand = _mat(cand)
+    cand_ids = cand.select(F.col("id_a").alias(id_col)).union(
+        cand.select(F.col("id_b").alias(id_col))
+    )
+    cand_sets = docs.join(
+        cand_ids.distinct(), id_col, "semi"
+    ).select(id_col, shingles_col(F.col(text_col)).alias("shingles"))
     return score_candidates_jaccard(
-        cand, sets_df, id_col, "shingles", threshold
+        cand, cand_sets, id_col, "shingles", threshold
     )
 
 
