@@ -54,108 +54,73 @@ def _load_registrations() -> None:
     import kgp.queries_ext  # noqa: F401
 
 
-# Round-3 rotation: the driver records the FIRST 50 registry entries
-# (r01/r02 evidence). Round 2's tier ordering left 14 tier-3 oracles
-# without any driver row, so this explicit window puts every
-# never-driver-verified entry (the 14 + this round's 6 new gated
-# queries) at the FRONT, followed by 30 keepers re-verifying the
-# unique-operator core. The 20 demoted entries were all green in
-# CORRECTNESS_r02 and stay verified by the in-repo sf0.01 oracle gate
-# (tests/test_queries_oracle.py) — across r02+r03 every oracle in the
-# registry has at least one green driver row. Entries not listed here
-# sort after the window by (tier, registration order), rows-only last.
+# Round-4 rotation: the driver records the FIRST 50 registry entries.
+# After round 3, 35 oracles' newest green driver row was r02 (all
+# demoted keepers or early-round entries) and 50 were r03-green. This
+# window rotates ALL 35 r02-newest entries back in so that after this
+# round no oracle's newest driver row is more than one round old, and
+# keeps 15 r03-green keepers whose code paths were touched this round
+# (minhash verify semi-join, triangle input canonicalization,
+# hash_split validation, domain extraction fix, and every consumer of
+# the new config-driven materialize helper: pagerank/triangles/tfidf/
+# canon/ivf) plus the flagship byte-identity pair. Everything demoted
+# was green in CORRECTNESS_r03 and stays continuously verified by the
+# in-repo sf0.01 oracle gate (tests/test_queries_oracle.py). Entries
+# not listed here sort after the window by (tier, registration
+# order), rows-only last.
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-verified: rotated-in tier-3 oracles (r02 §"What's
-    # missing" #1) --
-    "kg_entity_doc_counts",
-    "pages_video_info",
-    "pages_corpus_stats",
-    "pages_quality_scores",
-    "pages_lang_id",
-    "text_token_counts",
-    "text_quality_score",
-    "kg_graph_export_counts",
-    "kg_triples_canonical",
-    "suppliers_per_region_nation",
-    "part_brand_stats",
-    "source_id_extract",
-    "events_user_gaps",
-    "events_rollup_by_type",
-    # -- new gated entries this round (F9, P4, A5, U2, suggestions) --
-    "pages_embeddings",
-    "pages_content_truncated",
-    "kg_entity_union",
-    "kg_search_suggestions",
-    "kg_run_stats",
-    "kg_run_success_rate",
-    # -- late round-3 additions (graph analytics, split, boilerplate) --
-    "kg_pagerank",
-    "docs_train_split",
-    "docs_boilerplate_ngrams",
-    # pages_canonical_entities demoted (r02-green; X5 stays in-window
-    # via kg_canonical_entities + kg_triples_canonical +
-    # dedup_minhash_clusters) to admit the triangle-count gate;
-    # kg_graph_export_nodes demoted (r02-green; S9 stays in-window via
-    # kg_graph_export_counts) to admit the C4 span-dedup gate:
-    "kg_triangle_counts",
-    "docs_span_dedup",
-    # kg_entity_cooccurrence demoted (r02-green; the co-occurrence
-    # graph is exercised in-window by kg_pagerank + kg_triangle_counts)
-    # and pages_segment_triples demoted (r02-green; F4 namespacing
-    # stays in-window via kg_triples edge_id) to admit the per-domain
-    # web-policy entries:
-    "pages_domain_stats",
-    "pages_domain_capped",
-    # pages_near_dup_pairs demoted (r02-green; X3/X4 stay in-window
-    # via dedup_minhash_lsh_pairs + dedup_minhash_clusters +
-    # dedup_embedding_pairs) to admit the rolling-hash fingerprint:
-    "docs_rolling_fingerprint",
-    # -- keepers: unique-operator core, re-verified every round --
+    # -- rotated in: newest driver row r02 (35 entries) --
+    "kg_mentions",
+    "kg_entities",
+    "kg_onehop_facts",
+    "kg_linked_mentions",
+    "kg_entity_cooccurrence",
+    "kg_doc_entity_sets",
+    "kg_docs_with_entity",
+    "kg_graph_export_nodes",
+    "kg_graph_export_edges",
+    "svo_pattern_triples",
+    "pages_video_timeline",
+    "pages_triples",
+    "pages_entities",
+    "pages_segment_triples",
+    "pages_canonical_entities",
+    "pages_near_dup_pairs",
+    "pages_frame_samples",
+    "dedup_exact_groups",
+    "dedup_fingerprint_groups",
+    "dedup_simhash_groups",
+    "dedup_ngram_jaccard_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "text_quality_features",
+    "text_lang_id",
+    "embedding_monthly_centroid",
+    "tpch_pricing_summary",
+    "tpch_q3ish_shipping_priority",
+    "top_customers_by_revenue",
+    "customers_without_big_orders",
+    "events_json_extract",
+    "events_date_roundtrip",
+    "events_topn_per_user",
+    "events_monthly_by_type",
+    "events_value_percentiles_exact",
+    # -- keepers: r03-green, code path touched in round 4 --
     "kg_triples",
     "pages_extracted_docs",
-    "pages_segments",
-    "pages_fresh_filter",
-    "pages_linked_entities",  # semantics touched this round (NULL filter)
-    "pages_html_media_features",
-    # dedup_exact_groups demoted (r02-green; dedup family stays
-    # in-window via simhash/minhash/embedding) for kg_pagerank;
-    # dedup_simhash_groups demoted (r01+r02 green) to admit the
-    # decontamination entry:
-    "docs_decontamination",
     "dedup_minhash_lsh_pairs",
-    "dedup_embedding_pairs",
-    "kg_canonical_entities",
-    "kg_entity_doc_counts_salted",
-    # svo_pattern_triples demoted (r01+r02-driver-green; X1 stays on
-    # the in-repo gate) to admit the stage-one URL blocklist filter,
-    # which has no driver row yet:
-    "pages_blocklist_filtered",
-    "kg_all_nodes",  # U1 gated r3; ann_topk_bruteforce + ann_topk_lsh
-    # (both r01+r02 green) demoted, T1 covered in-window by ivf; the
-    # lsh slot admits the transitive fuzzy-dedup clusters entry:
     "dedup_minhash_clusters",
-    "ann_topk_ivf",
-    # text_lang_id demoted (r02-green; textstats family stays
-    # in-window via text_token_counts/text_quality_score) for
-    # docs_train_split; kg_doc_entity_sets demoted (r02-green; A3
-    # covered by kg_entity_doc_counts in-window) for
-    # docs_boilerplate_ngrams:
-    "temporal_search_filtered",
-    # kg_graph_export_edges demoted (r02-green; S9 stays in-window
-    # via kg_graph_export_counts) to admit the set-ops entry:
-    "events_user_setops",
-    # customers_without_big_orders demoted (r01+r02 green; anti-join
-    # semantics stay in-window via events_user_setops EXCEPT) to admit
-    # the Gopher repetition-rules entry:
-    "docs_repetition_stats",
-    "source_strategy_dispatch",
-    # events_value_percentiles_exact demoted (r02-green; the pinned
-    # floor-index percentile rule is stable and stays on the in-repo
-    # gate) to admit the keyword-extraction entry, which has no driver
-    # row yet:
+    "kg_canonical_entities",
+    "kg_pagerank",
+    "kg_triangle_counts",
     "docs_tfidf_top_terms",
-    "events_asof_last_purchase",
-    "events_range_pairs",
+    "ann_topk_ivf",
+    "docs_train_split",
+    "pages_domain_stats",
+    "pages_domain_capped",
+    "pages_blocklist_filtered",
+    "docs_span_dedup",
+    "docs_decontamination",
 ]
 
 

@@ -87,57 +87,35 @@ def test_driver_window_invariants():
     assert names[:50] == DRIVER_WINDOW
     for n in DRIVER_WINDOW:
         assert _REGISTRY[n][1] is not None, f"{n} has no oracle"
-    # everything outside the window is either r02-driver-green or
-    # rows-only — a NEW oracle entry must be added to the window
-    r02_green_or_rows_only = {
-        "kg_mentions", "kg_entities", "kg_onehop_facts",
-        "tpch_pricing_summary", "top_customers_by_revenue",
-        "events_monthly_by_type", "events_json_extract",
-        "pages_video_timeline", "pages_triples", "pages_entities",
-        "pages_frame_samples", "dedup_fingerprint_groups",
-        "dedup_ngram_jaccard_pairs", "kg_linked_mentions",
-        # demoted late-r3 for events_user_setops; r02-driver-green,
-        # S9 stays in-window via _nodes + _counts
-        "kg_graph_export_edges",
-        # demoted late-r3 for kg_pagerank / docs_train_split /
-        # docs_boilerplate_ngrams; all three r02-driver-green with
-        # their operator families still in-window
-        "dedup_exact_groups", "text_lang_id", "kg_doc_entity_sets",
-        "text_quality_features", "kg_docs_with_entity",
-        "tpch_q3ish_shipping_priority", "events_date_roundtrip",
-        "events_topn_per_user", "embedding_monthly_centroid",
-        "ann_topk_bruteforce",
+    # everything outside the window is either r03-driver-green (the
+    # round-4 rotation demoted 35 r03-green entries to re-verify every
+    # r02-newest oracle) or rows-only — a NEW oracle entry must be
+    # added to the window
+    r03_green_or_rows_only = {
+        # rows-only approx sketches (HLL++/KLL internals differ across
+        # engines by design — never window-eligible)
         "events_approx_distinct_users", "events_value_percentiles",
-        # demoted late-r3 for docs_repetition_stats /
-        # docs_decontamination / dedup_minhash_clusters; all three
-        # r01+r02-driver-green (anti-join shape in-window via
-        # events_user_setops, dedup family via minhash + embedding,
-        # T1 via ann_topk_ivf)
-        "customers_without_big_orders", "dedup_simhash_groups",
-        "ann_topk_lsh",
-        # demoted late-r3 for kg_triangle_counts / docs_span_dedup;
-        # both r02-driver-green (X5 in-window via kg_canonical_entities
-        # + kg_triples_canonical + dedup_minhash_clusters, S9 via
-        # kg_graph_export_counts)
-        "pages_canonical_entities", "kg_graph_export_nodes",
-        # demoted late-r3 for pages_domain_stats/_capped; both
-        # r02-driver-green (co-occurrence in-window via kg_pagerank +
-        # kg_triangle_counts, F4 via kg_triples edge_id)
-        "kg_entity_cooccurrence", "pages_segment_triples",
-        # demoted late-r3 for docs_rolling_fingerprint; r02-driver-
-        # green (X3/X4 in-window via dedup_minhash_lsh_pairs +
-        # dedup_minhash_clusters + dedup_embedding_pairs)
-        "pages_near_dup_pairs",
-        # demoted late-r3 for docs_tfidf_top_terms; r02-driver-green
-        # (the pinned floor-index percentile rule is stable; sketch
-        # family still exercised by the rows-only approx twins)
-        "events_value_percentiles_exact",
-        # demoted late-r3 for pages_blocklist_filtered; r01+r02-
-        # driver-green (X1 pattern extraction stable two rounds)
-        "svo_pattern_triples",
+        # r03-driver-green, demoted for the round-4 rotation; all stay
+        # continuously verified by this module's sf0.01 oracle gate
+        "dedup_embedding_pairs", "docs_boilerplate_ngrams",
+        "docs_repetition_stats", "docs_rolling_fingerprint",
+        "events_asof_last_purchase", "events_range_pairs",
+        "events_rollup_by_type", "events_user_gaps",
+        "events_user_setops", "kg_all_nodes", "kg_entity_doc_counts",
+        "kg_entity_doc_counts_salted", "kg_entity_union",
+        "kg_graph_export_counts", "kg_run_stats",
+        "kg_run_success_rate", "kg_search_suggestions",
+        "kg_triples_canonical", "pages_content_truncated",
+        "pages_corpus_stats", "pages_embeddings", "pages_fresh_filter",
+        "pages_html_media_features", "pages_lang_id",
+        "pages_linked_entities", "pages_quality_scores",
+        "pages_segments", "pages_video_info", "part_brand_stats",
+        "source_id_extract", "source_strategy_dispatch",
+        "suppliers_per_region_nation", "temporal_search_filtered",
+        "text_quality_score", "text_token_counts",
     }
     outside = set(names[50:])
-    assert outside <= r02_green_or_rows_only, (
+    assert outside <= r03_green_or_rows_only, (
         "new entries must go INTO the driver window: "
-        f"{outside - r02_green_or_rows_only}"
+        f"{outside - r03_green_or_rows_only}"
     )
