@@ -20,8 +20,11 @@ gate) → deduped (exact md5 keep-min, then MinHash-LSH near-dup
 pruning) → decontaminated (only with --benchmark: drop docs sharing
 any 3-token shingle with the eval set) → capped (only with
 --max-per-domain: keep the K highest-quality docs per url domain) →
-split (md5-bucket train/val/test, hive-partitioned by split). A
-trainer then reads `split=train` with partition pruning.
+truncated (only with --max-tokens-per-doc: cap each doc at its first
+N whitespace tokens, applied after dedup/decontamination so those
+compare full documents) → split (md5-bucket train/val/test,
+hive-partitioned by split). A trainer then reads `split=train` with
+partition pruning.
 """
 
 from __future__ import annotations
@@ -56,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-per-domain", type=int, default=None,
                     help="mega-domain quota: keep at most K highest-"
                          "quality docs per url domain (default off)")
+    ap.add_argument("--max-tokens-per-doc", type=int, default=None,
+                    help="cap each surviving doc at its first N"
+                         " whitespace tokens (original whitespace"
+                         " preserved; default off)")
     ap.add_argument("--repartition", type=int, default=0,
                     help="url-hash repartition width before extraction")
     ap.add_argument("--run-id", default=None)
@@ -95,7 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         f"min_quality={args.min_quality} langs={args.langs} "
         f"near_dup={args.near_dup} benchmark={args.benchmark or ''} "
         f"max_dup_ratio={args.max_dup_ratio} "
-        f"max_per_domain={args.max_per_domain}"
+        f"max_per_domain={args.max_per_domain} "
+        f"max_tokens_per_doc={args.max_tokens_per_doc}"
     )
     prev = fsutil.resume_marker_guard(
         spark, f"{args.output}/_run_contract", contract
@@ -123,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         benchmark_path=args.benchmark,
         max_dup_ratio_e4=args.max_dup_ratio,
         max_per_domain=args.max_per_domain,
+        max_tokens_per_doc=args.max_tokens_per_doc,
     )
     print(f"run_id={runner.run_id} executed={runner.executed} "
           f"skipped={runner.skipped}")

@@ -159,6 +159,7 @@ def build_training_pipeline(
     benchmark_path: str | None = None,
     max_dup_ratio_e4: int | None = None,
     max_per_domain: int | None = None,
+    max_tokens_per_doc: int | None = None,
 ) -> StageRunner:
     """LLM training-data prep as resumable stages — the cleaning
     recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
@@ -184,6 +185,14 @@ def build_training_pipeline(
                         hosts dominating the training mix;
                         kgp.operators.sources.cap_per_key with a
                         (quality_e4 DESC, doc_id) total order)
+          → truncated  (only when ``max_tokens_per_doc`` is given: cap
+                        each doc at its first N whitespace tokens —
+                        original whitespace preserved, at-or-under-cap
+                        docs byte-identical; the P4-style length
+                        policy as a pipeline stage,
+                        kgp.operators.textstats.truncate_tokens. Runs
+                        AFTER dedup/decontamination so those compare
+                        full documents, not truncated prefixes)
           → split      (reproducible md5-bucket train/val/test,
                         hive-partitioned by split so a trainer reads
                         its split with partition pruning, no scan)
@@ -318,6 +327,20 @@ def build_training_pipeline(
 
         final = runner.stage("capped", _capped)
         if stop_after == "capped":
+            return runner
+
+    if max_tokens_per_doc is not None:
+        from kgp.operators.textstats import truncate_tokens
+
+        def _truncated(src: DataFrame = final) -> DataFrame:
+            # narrow per-row projection — zero shuffle, pipelines into
+            # the capped stage's scan
+            return truncate_tokens(
+                src, max_tokens_per_doc, text_col="extracted_text"
+            )
+
+        final = runner.stage("truncated", _truncated)
+        if stop_after == "truncated":
             return runner
 
     runner.stage(

@@ -157,10 +157,52 @@ def pagerank_int(
     return ranks
 
 
+def _tri_degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Schank-Wagner degree-oriented wedge close over canonical edges
+    ``e(src, dst)`` (src < dst, distinct) with ``deg(id, degree)``:
+    orient each edge from its (degree, id)-smaller endpoint, pivot
+    wedges only on out-edges. One (a, b, c) row per triangle (a the
+    pivot). Out-degree under this orientation is O(√m), so the wedge
+    table is O(m^1.5) even with zipf-head hubs — a hub's edges all
+    point INTO it and pivot nothing."""
+    ds = deg.select(
+        F.col("id").alias("src"), F.col("degree").alias("_dsrc")
+    )
+    dd = deg.select(
+        F.col("id").alias("dst"), F.col("degree").alias("_ddst")
+    )
+    ed = e.join(ds, "src").join(dd, "dst")
+    # canonical input has src < dst, so <= breaks degree ties by id
+    fwd = F.col("_dsrc") <= F.col("_ddst")
+    o = _mat(
+        ed.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            F.when(fwd, F.col("_ddst"))
+            .otherwise(F.col("_dsrc"))
+            .alias("_dv"),
+        )
+    )  # consumed three times (two wedge sides + the closing probe)
+    w1 = o.select("u", F.col("v").alias("b"), F.col("_dv").alias("_db"))
+    w2 = o.select("u", F.col("v").alias("c"), F.col("_dv").alias("_dc"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("_db") < F.col("_dc"))
+        | ((F.col("_db") == F.col("_dc")) & (F.col("b") < F.col("c")))
+    )
+    return (
+        wedges.join(
+            o.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
+        )
+        .select(F.col("u").alias("a"), "b", "c")
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     materialize: bool = True,
+    orient: str = "id",
 ) -> DataFrame:
     """Per-node triangle participation + degree over undirected
     ``edges(src, dst)``. Input is canonicalized internally —
@@ -180,11 +222,25 @@ def triangle_counts(
 
     Scale shape: both joins key on edge endpoints with map-side
     partial agg on the final counts; the id-orientation matches the
-    SQL twin exactly. The classic refinement at 10^12 edges is
-    degree-orientation (orient each edge toward the higher-degree
-    endpoint so wedge pivots are low-degree vertices — Schank 2007);
-    it changes the join sizes, not the counts. Head-entity hubs are
-    the AQE skew-split case either way.
+    SQL twin exactly.
+
+    ``orient`` picks the wedge-pivot order:
+
+    * ``"id"`` (default) — a<b<c lexicographic close; matches the
+      DuckDB oracle twin exactly. A head-entity hub of degree h
+      pivots h·(h−1)/2 wedges: AQE's skew split rebalances those
+      wedge rows across tasks, but the wedge COUNT itself stays
+      quadratic in h.
+    * ``"degree"`` — Schank-Wagner degree orientation: each edge
+      points from its (degree, id)-smaller endpoint to the larger, and
+      wedges pivot only on out-edges. Every vertex's out-degree is
+      then O(√m), so total wedge work is O(m^1.5) REGARDLESS of degree
+      skew — a degree-h hub pivots ~0 wedges (its edges all point
+      INTO it). Counts are identical: each triangle has exactly one
+      (degree, id)-minimal vertex, so it is enumerated exactly once;
+      parity + the hub wedge bound are asserted in
+      tests/test_resume_skew.py, measured numbers in PLANS.md. This is
+      the production path for zipf-headed entity graphs.
 
     ``materialize`` (default) eagerly materializes the canonical edge
     table first (kgp.materialize): it is referenced four times (three
@@ -194,6 +250,8 @@ def triangle_counts(
     self-join + count-filter subplan planned 4× for the co-occurrence
     graph). Or pre-write edges bucketed by src (kgp.catalog).
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be 'id' or 'degree': {orient!r}")
     e = (
         edges.select(
             F.least("src", "dst").alias("src"),
@@ -210,15 +268,19 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    wedges = e.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).join(
-        e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
-    )
-    tri = wedges.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-    ).select("a", "b", "c")
+    if orient == "degree":
+        tri = _tri_degree_oriented(e, deg)
+    else:
+        wedges = e.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).join(
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            "b",
+        )
+        tri = wedges.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            ["a", "c"],
+        ).select("a", "b", "c")
     tn = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")

@@ -220,13 +220,30 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str, materialize: bool = True
+    bands_df: DataFrame,
+    id_col: str,
+    materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any (band_idx, band_key).
 
     Self-equi-join on the band key — shuffles once on (band_idx,
     band_key); AQE splits hot buckets. distinct() collapses pairs found
     in multiple bands before any downstream scoring.
+
+    ``max_bucket`` is the hot-band guard for boilerplate-skewed
+    corpora: a band key shared by B docs emits B·(B−1)/2 candidate
+    pairs, so one boilerplate string in 20 % of a 100 TB corpus makes
+    a single bucket quadratic — AQE's skew split rebalances the TASKS
+    but cannot shrink the OUTPUT. When set, buckets with more than
+    ``max_bucket`` members are dropped before the self-join (one
+    size-count aggregation on the same key — co-partitioned with the
+    join, no extra exchange on the bands side). Standard LSH-dedup
+    practice: an over-cap bucket is near-certain boilerplate whose
+    members exact-dedup (or a dedicated boilerplate pass) handles at
+    O(B); pairs those docs form with DISTINCT documents through their
+    other, unskewed bands are unaffected. Skew evidence:
+    tests/test_resume_skew.py + PLANS.md.
 
     materialize=True (default) eagerly materializes the bands table
     first (kgp.materialize — localCheckpoint locally, conf-switchable
@@ -242,6 +259,14 @@ def lsh_candidate_pairs(
         from kgp.materialize import materialize as _mat
 
         bands_df = _mat(bands_df)
+    if max_bucket is not None:
+        small = (
+            bands_df.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        bands_df = bands_df.join(small, ["band_idx", "band_key"])
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )

@@ -49,6 +49,47 @@ def word_token_count_col(text: Column) -> Column:
     ).cast("long")
 
 
+def truncate_tokens_cols(
+    text: Column, max_tokens: int
+) -> tuple[Column, Column]:
+    """(truncated_text, was_truncated) — cap ``text`` at its first
+    ``max_tokens`` whitespace tokens, preserving the original
+    leading/inter-token whitespace of the kept prefix.
+
+    Docs at or under the cap pass through BYTE-IDENTICAL (the guard
+    fires only when a ``max_tokens``-th token is followed by
+    whitespace and another token), so the optional prep-pipeline
+    truncation stage never perturbs compliant documents. Pure JVM
+    regexp — zero shuffle, pipelines into the scan. The same two
+    patterns run under DuckDB's RE2 for the oracle twin; RE2 caps
+    bounded repetition at 1000, so oracle-gated uses keep
+    ``max_tokens`` ≤ 1000 (Java regex in the production path has no
+    such cap — a 10k-token training cut is fine).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    over_pat = r"^\s*(\S+\s+){%d}\S" % max_tokens
+    keep_pat = r"^(\s*\S+(\s+\S+){0,%d})" % (max_tokens - 1)
+    over = text.rlike(over_pat)
+    return (
+        F.when(over, F.regexp_extract(text, keep_pat, 1)).otherwise(
+            text
+        ),
+        over.cast("int"),
+    )
+
+
+def truncate_tokens(
+    docs: DataFrame, max_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Replace ``text_col`` with its first ``max_tokens`` whitespace
+    tokens (all other columns ride through untouched) — the
+    --max-tokens-per-doc cleaning policy of the training-data prep
+    pipeline (kgp.checkpoint.build_training_pipeline)."""
+    trunc, _ = truncate_tokens_cols(F.col(text_col), max_tokens)
+    return docs.withColumn(text_col, trunc)
+
+
 def quality_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

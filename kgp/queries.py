@@ -120,7 +120,11 @@ DRIVER_WINDOW: list[str] = [
     "pages_domain_capped",
     "pages_blocklist_filtered",
     "docs_span_dedup",
-    "docs_decontamination",
+    # docs_decontamination demoted (r03-green; the anti-join shape
+    # stays in-window via pages_blocklist_filtered) to admit the new
+    # --max-tokens-per-doc truncation operator, which has no driver
+    # row yet:
+    "docs_token_truncate",
 ]
 
 

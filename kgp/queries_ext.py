@@ -579,6 +579,35 @@ def q_text_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "docs_token_truncate",
+    r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '^\s*(\S+\s+){32}\S')
+            THEN regexp_extract(text, '^(\s*\S+(\s+\S+){0,31})', 1)
+            ELSE text END AS text_trunc,
+       CASE WHEN regexp_matches(text, '^\s*(\S+\s+){32}\S')
+            THEN 1 ELSE 0 END AS was_truncated
+FROM documents
+""",
+    tier=3,
+)
+def q_docs_token_truncate(spark, sf_dir):
+    """--max-tokens-per-doc cleaning policy (prep-pipeline 'truncated'
+    stage): cap each doc at its first 32 whitespace tokens, original
+    whitespace preserved; at-or-under-cap docs ride through
+    byte-identical (hash-compared here). Both branches are the same
+    regex in Java (Spark) and RE2 (DuckDB); sf0.01 documents span
+    10-99 tokens so both branches are non-vacuously exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trunc, was = T.truncate_tokens_cols(F.col("text"), 32)
+    return docs.select(
+        "doc_id",
+        trunc.alias("text_trunc"),
+        was.alias("was_truncated"),
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS) + "]"
 
 _QF_SQL = f"""

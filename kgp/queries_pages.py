@@ -223,10 +223,30 @@ def q_pages_content_truncated(spark, sf_dir):
 # F1/J1/F3/S5 — NER → triples → entity nodes
 # ---------------------------------------------------------------------------
 
-@register(
-    "pages_triples",
-    f"""
-WITH {_PAGES_CTE}, {_DOCS_CTE}, {_CAPPED_CTE},
+def pages_triples_sql(pages_glob: str | None = None) -> str:
+    """The pages→triples oracle SQL over an ARBITRARY pages parquet
+    glob (default: the driver fixture). The streaming e2e test renders
+    it over ITS pages directory and runs it in DuckDB against the
+    compacted stream sink's files — turning "stream ≡ batch" from a
+    Spark-vs-Spark assertion into a cross-engine one (neither side of
+    that compare is computed by Spark)."""
+    pages_cte = (
+        _PAGES_CTE
+        if pages_glob is None
+        # DISTINCT (url, text): a crawl directory may hold re-crawls of
+        # the same page; duplicated rows would double every mention and
+        # make the per-doc rank-10 cap cut at ~5 DISTINCT entities,
+        # which is not the ingest semantic (a re-crawl of identical
+        # content upserts nothing — the streaming sink's anti-join/
+        # compaction behavior). The driver fixture has unique urls, so
+        # the default branch needs no dedup.
+        else (
+            "pages AS (SELECT DISTINCT url, text FROM "
+            f"read_parquet('{pages_glob}'))"
+        )
+    )
+    return f"""
+WITH {pages_cte}, {_DOCS_CTE}, {_CAPPED_CTE},
 t AS (
   SELECT DISTINCT 'page:' || url AS subj,
          'contains_entity' AS pred,
@@ -236,7 +256,12 @@ t AS (
 SELECT subj, pred, obj,
        'edge:' || subj || ':' || obj || ':contains_entity' AS edge_id
 FROM t
-""",
+"""
+
+
+@register(
+    "pages_triples",
+    pages_triples_sql(),
     tier=1,
 )
 def q_pages_triples(spark, sf_dir):

@@ -98,6 +98,7 @@ def test_driver_window_invariants():
         # r03-driver-green, demoted for the round-4 rotation; all stay
         # continuously verified by this module's sf0.01 oracle gate
         "dedup_embedding_pairs", "docs_boilerplate_ngrams",
+        "docs_decontamination",
         "docs_repetition_stats", "docs_rolling_fingerprint",
         "events_asof_last_purchase", "events_range_pairs",
         "events_rollup_by_type", "events_user_gaps",

@@ -126,3 +126,119 @@ def test_url_hash_repartition_balances_mega_domains(spark, pages_path):
     counts = [r["count"] for r in sizes]
     assert len(counts) == P
     assert max(counts) / (sum(counts) / len(counts)) < 1.6
+
+
+# ---------------------------------------------------------------------------
+# operator-level skew evidence (round-3 verdict #4): the hot LSH band
+# and the head-entity hub, with measured bounds (numbers → PLANS.md)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_hot_band_bucket_cap(spark):
+    """One boilerplate string in 20 % of docs puts B=120 docs into the
+    SAME (band_idx, band_key) bucket in every band — B·(B−1)/2 = 7 140
+    candidate pairs from one string, quadratic at corpus scale and
+    beyond what AQE's task-split can fix (it rebalances rows, not the
+    pair count). max_bucket drops the hot buckets before the
+    self-join; genuinely-near-dup pairs in unskewed buckets survive."""
+    from kgp.operators.dedup import near_dup_pairs_minhash
+    from kgp.operators.linking import (
+        lsh_bands,
+        minhash_signature,
+        shingles_col,
+    )
+
+    boiler = " ".join(f"terms of service clause {i % 7}" for i in range(20))
+    rows = []
+    for i in range(600):
+        if i % 5 == 0:
+            rows.append((f"d{i:04d}", boiler))
+        else:
+            rows.append(
+                (f"d{i:04d}",
+                 " ".join(f"tok{i}x{j} body{j * i % 97}" for j in range(20)))
+            )
+    # planted near-dup pair in the unskewed tail (one token swapped)
+    base = " ".join(f"planted near dup token{j}" for j in range(20))
+    rows.append(("p0001", base))
+    rows.append(("p0002", base.replace("token7", "tokenX", 1)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    sig = minhash_signature(
+        docs.select("doc_id", shingles_col(F.col("text")).alias("s")),
+        "doc_id", "s", family="fast",
+    )
+    sizes = (
+        lsh_bands(sig, "doc_id", render="dec")
+        .groupBy("band_idx", "band_key").count()
+    )
+    max_bucket_size = sizes.agg(F.max("count")).first()[0]
+    assert max_bucket_size == 120  # the boilerplate bucket, every band
+
+    capped = near_dup_pairs_minhash(
+        docs, family="fast", threshold=0.5, max_bucket=100
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert ("p0001", "p0002") in got  # unskewed pairs survive the cap
+    boiler_ids = {f"d{i:04d}" for i in range(0, 600, 5)}
+    assert not any(
+        a in boiler_ids and b in boiler_ids for a, b in got
+    )  # every hot-bucket pair is gone — the join never saw the bucket
+
+
+def test_triangle_degree_orientation_parity_and_hub_bound(spark):
+    """orient='degree' returns IDENTICAL counts to the oracle-gated
+    id-orientation, while bounding the wedge work at a hub: on a
+    200-spoke star the id order pivots C(200,2)=19 900 wedges at the
+    hub; degree orientation points every hub edge INTO the hub, so the
+    hub pivots zero and total wedges collapse to the spokes' O(1)
+    out-degrees."""
+    from kgp.operators.graph import triangle_counts
+
+    hub = "a_hub"  # lexicographically smallest → worst case for id order
+    edges = [(hub, f"s{i:03d}") for i in range(200)]
+    edges += [(f"s{i:03d}", f"s{i + 1:03d}") for i in range(50)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    by_id = {
+        (r["id"]): (r["degree"], r["triangles"])
+        for r in triangle_counts(e, orient="id").collect()
+    }
+    by_deg = {
+        (r["id"]): (r["degree"], r["triangles"])
+        for r in triangle_counts(e, orient="degree").collect()
+    }
+    assert by_id == by_deg
+    assert by_id[hub] == (200, 50)  # 50 hub triangles exist
+
+    # measured wedge bound: sum over pivots of C(outdeg, 2)
+    def pivot_wedges(oriented):
+        out = oriented.groupBy("u").count()
+        return (
+            out.select(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            ).first()[0]
+        )
+
+    canon = e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    id_wedges = pivot_wedges(canon.select(F.col("src").alias("u")))
+    deg = (
+        canon.select(F.col("src").alias("id"))
+        .unionAll(canon.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    from kgp.operators.graph import _tri_degree_oriented  # noqa: F401
+
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddst"))
+    ed = canon.join(ds, "src").join(dd, "dst")
+    fwd = F.col("dsrc") <= F.col("ddst")
+    oriented = ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u")
+    )
+    deg_wedges = pivot_wedges(oriented)
+    assert id_wedges >= 19900  # hub-quadratic under id order
+    assert deg_wedges <= 300  # hub pivots nothing under degree order

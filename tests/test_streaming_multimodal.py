@@ -74,6 +74,57 @@ def test_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     assert len(total_files) > 1
 
 
+def test_stream_sink_cross_engine_matches_duckdb(spark, tmp_path):
+    """Stream ≡ batch, verified ACROSS engines (round-3 verdict #7):
+    after two availableNow drains (the second wave includes a re-crawl
+    that plants cross-date duplicate triples) plus compaction, DuckDB
+    recomputes the expected triples from the raw pages files via the
+    pages_triples oracle SQL and reads the sink parquet directly —
+    neither side of the final equality is computed by Spark."""
+    import duckdb
+    import pandas as pd
+
+    from kgp.queries_pages import pages_triples_sql
+    from kgp.streaming import compact_triples_sink
+    from kgp.synth import synth_pages_pdf
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    synth_pages(spark, 80).write.mode("append").parquet(pages_dir)
+    q = start_kg_stream(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    # wave 2: rows 80..119 plus a re-crawl of rows 0..9 on a later
+    # ingest day — identical triples, different date partition, so the
+    # per-date streaming dedup appends duplicates that only the
+    # compaction job removes
+    pdf2 = synth_pages_pdf(40, start=80)
+    recrawl = synth_pages_pdf(10)
+    recrawl["warc_ts"] = pd.to_datetime(
+        recrawl["warc_ts"]
+    ) + pd.Timedelta(days=400)
+    spark.createDataFrame(
+        pd.concat([pdf2, recrawl], ignore_index=True)
+    ).write.mode("append").parquet(pages_dir)
+    q2 = start_kg_stream(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    removed = compact_triples_sink(spark, out_dir)
+    assert removed > 0  # the re-crawl duplicates really existed
+
+    con = duckdb.connect()
+    expect = con.execute(
+        pages_triples_sql(f"{pages_dir}/*.parquet")
+    ).fetchall()
+    got = con.execute(
+        "SELECT subj, pred, obj, edge_id FROM "
+        f"read_parquet('{out_dir}/*/*.parquet')"
+    ).fetchall()
+    assert expect and sorted(got) == sorted(expect)
+
+
 def test_html_binary_roundtrip_byte_identical(spark):
     pages = synth_pages(spark, 80)
     joined = (

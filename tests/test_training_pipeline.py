@@ -159,6 +159,79 @@ def test_training_pipeline_decontaminates_against_benchmark(
     assert out_ids < dedup_ids
 
 
+def test_training_pipeline_max_tokens_per_doc(spark, tmp_path):
+    """--max-tokens-per-doc caps every split doc at N whitespace
+    tokens: over-cap docs become a byte-prefix of their original,
+    at-or-under-cap docs ride through byte-identical, and the stage
+    runs AFTER dedup (dedup compared full documents)."""
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus_trunc")
+    n_tok = 64
+    r = build_training_pipeline(
+        spark,
+        pages,
+        out,
+        min_quality_e4=0,
+        near_dup_threshold=0.5,
+        max_tokens_per_doc=n_tok,
+    )
+    assert r.executed[-2:] == ["truncated", "split"]
+
+    orig = (
+        spark.read.parquet(f"{out}/deduped")
+        .select("doc_id", F.col("extracted_text").alias("full"))
+    )
+    joined = (
+        spark.read.parquet(f"{out}/split")
+        .select("doc_id", "extracted_text")
+        .join(orig, "doc_id")
+        .collect()
+    )
+    assert joined
+    n_cut = 0
+    for row in joined:
+        toks = [t for t in row["extracted_text"].split() if t]
+        assert len(toks) <= n_tok, row["doc_id"]
+        if row["extracted_text"] == row["full"]:
+            assert len([t for t in row["full"].split() if t]) <= n_tok
+        else:
+            n_cut += 1
+            assert row["full"].startswith(row["extracted_text"])
+            assert len(toks) == n_tok
+    # synth texts span 30-150+ tokens, so both branches are exercised
+    assert 0 < n_cut < len(joined)
+
+
+def test_training_cli_max_tokens_contract(tmp_path):
+    """--max-tokens-per-doc is part of the resume contract: a rerun
+    over the same --output with a different cap must refuse to resume
+    (committed stages hold the old truncation)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "cli_trunc")
+    cmd = [
+        sys.executable, "jobs/prepare_training_data.py",
+        "--synth", "200", "--output", out, "--cores", "4",
+        "--min-quality", "0", "--max-tokens-per-doc", "64",
+    ]
+    r1 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert (
+        "executed=['docs', 'filtered', 'deduped', 'truncated', 'split']"
+        in r1.stdout
+    )
+    r2 = subprocess.run(
+        cmd[:-1] + ["32"], capture_output=True, text=True, timeout=600,
+        cwd=repo,
+    )
+    assert r2.returncode == 2, (r2.returncode, r2.stderr[-1000:])
+    assert "previous contract" in r2.stderr
+
+
 def test_training_pipeline_domain_quota(spark, tmp_path):
     """--max-per-domain keeps the K HIGHEST-QUALITY docs per domain:
     the quota holds in the split output, and for a capped domain the
