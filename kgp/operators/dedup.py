@@ -465,8 +465,9 @@ def span_dedup_stats(
     # count join degenerates into a corpus×corpus sort-merge join on a
     # ~100-byte string key. The window shuffles the span table ONCE on
     # the same key and sorts one side instead of two (measured at 2M
-    # docs / local[32]: groupBy+join 32 s → window 17 s), and the span
-    # table then has a single consumer, so nothing needs materializing.
+    # docs / local[32], full-drain: ~39 s with groupBy+join → ~14 s
+    # with the window), and the span table then has a single consumer,
+    # so nothing needs materializing.
     from pyspark.sql.window import Window
 
     w_span = Window.partitionBy("span")
