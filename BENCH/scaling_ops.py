@@ -246,9 +246,13 @@ def main() -> None:
                 "--master", f"local[{cores}]",
                 # the 2M-row tf table / bands table localCheckpoints
                 # live in the driver JVM in local mode — needs more
-                # heap than the flagship's 8g
+                # heap than the flagship's 8g. 48g, not 24g: the
+                # local[32] leg at 8M nodes / 32M edges exited 52
+                # (SparkExitCode.OOM) at 24g while the local[8] leg
+                # passed — 4x concurrent tasks over string-heavy
+                # shuffles fragment a 24g heap; the box has 128 GiB.
                 "--driver-memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
                 "--py-files", zip_path,
                 runner_path, str(cores), pages_path, edges_path,
             ], work
@@ -264,8 +268,16 @@ def main() -> None:
         for cores in (8, 32):
             cmd, cwd = leg_cmd(cores)
             out = subprocess.run(
-                cmd, check=True, cwd=cwd, capture_output=True, text=True,
+                cmd, cwd=cwd, capture_output=True, text=True,
             )
+            if out.returncode != 0:
+                # surface the leg's own stderr — a swallowed
+                # CalledProcessError cost a 50-min run once
+                sys.stderr.write(out.stdout[-2000:])
+                sys.stderr.write(out.stderr[-6000:])
+                raise SystemExit(
+                    f"leg local[{cores}] exited {out.returncode}"
+                )
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             legs[cores] = json.loads(line)
