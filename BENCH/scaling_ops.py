@@ -4,7 +4,9 @@
 BENCH/scaling.py covers the flagship fused KG pipeline; this harness
 covers the operators a 100 TB training-data run actually spends its
 wall-clock in — MinHash-LSH fuzzy dedup (xxhash64 production family),
-C4 span-level dedup, tf-idf keyword extraction, integer PageRank and
+C4 span-level dedup, tf-idf keyword extraction, benchmark
+decontamination, boilerplate n-gram mining, embedding near-dup
+(sign-LSH bucketed), IVF k-means index build, integer PageRank and
 triangle counting — each at ≥2M rows, each leg a FRESH JVM launched
 via ``spark-submit --py-files kgp.zip`` from a scratch dir (the north
 rule's launch mode), local[8] (N) vs local[32] (4N).
@@ -12,13 +14,23 @@ rule's launch mode), local[8] (N) vs local[32] (4N).
 Inputs (deterministic, synthesized once, shared by every leg):
   * pages: the SAME 2M-page parquet BENCH/scaling.py materializes
     (kgp.synth.synth_pages, 128 files) — minhash / span dedup / tfidf
-    run over (doc_id, text) projected from it.
+    / decontamination / boilerplate run over (doc_id, text) projected
+    from it.
+  * embeddings: (doc_id, embedding float[64]) — the deterministic
+    md5-seeded mock generator (kgp.operators.embed) applied to pages,
+    written to parquet once; embedding near-dup and the IVF build
+    read it.
   * graph: a seedless-deterministic 2M-node / 8M-edge table
     (src = xxhash64(id,1) mod n, dst = xxhash64(id,2) mod n — pure
     column functions of the row id, so the bytes are identical at any
     parallelism), written to parquet once. PageRank runs the
     DISTRIBUTED loop (small_graph_threshold=0); triangle_counts
     canonicalizes internally.
+
+BLAS threads are pinned to 1 in every leg (OMP/OPENBLAS/MKL env):
+numpy inside the IVF build's mapInPandas GEMM would otherwise spawn
+its own thread pool per python worker and oversubscribe both legs,
+corrupting exactly the per-core ratio being measured.
 
 Noise protocol (CLAUDE.md: the microVM's effective CPU swings ~3×
 with host neighbors): the two legs of a round run back-to-back and
@@ -30,7 +42,9 @@ codegen compile is noise, so no inner repetition (unlike the flagship
 harness, whose 2-20 s timings need min-of-3).
 
 Usage: python BENCH/scaling_ops.py [n_pages] [n_nodes] [n_edges]
-       (defaults 2_000_000 / 2_000_000 / 8_000_000)
+       (defaults 2_000_000 / 8_000_000 / 32_000_000; the committed
+       BASELINE.md table uses the documented 2M-page / 2M-node /
+       8M-edge config — see BENCH/BASELINE.md's reproduce line)
 Rewrites the marker-delimited per-op section of BENCH/BASELINE.md and
 prints one JSON line.
 """
@@ -51,6 +65,7 @@ OPS_END = "<!-- SCALING_OPS:END -->"
 RUNNER = r"""
 import json, sys, time
 n_cores = int(sys.argv[1]); pages_path = sys.argv[2]; edges_path = sys.argv[3]
+emb_path = sys.argv[4]
 from kgp.session import get_spark
 spark = get_spark(
     "kgp-scaling-ops", cores=n_cores,
@@ -72,8 +87,17 @@ spark = get_spark(
                 "spark.local.dir": f"/dev/shm/kgp_scaling_shuffle_{n_cores}"})
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
-from kgp.operators.dedup import near_dup_pairs_minhash, span_dedup_stats
+from kgp.operators.dedup import (
+    frequent_ngrams,
+    near_dup_pairs_minhash,
+    ngram_contamination,
+    span_dedup_stats,
+)
 from kgp.operators.graph import pagerank_int, triangle_counts
+from kgp.operators.similarity import (
+    near_dup_pairs_embedding,
+    train_centroids_kmeans,
+)
 from kgp.operators.textstats import tfidf_top_terms
 
 pages = spark.read.parquet(pages_path)
@@ -85,6 +109,11 @@ docs_int = pages.select(
     "text",
 )
 edges = spark.read.parquet(edges_path)
+emb = spark.read.parquet(emb_path)
+# decontamination eval set: a deterministic ~1/2000 slice of the corpus
+# (benchmarks are thousands of docs against billions of training docs;
+# the slice guarantees non-vacuous overlap)
+bench_docs = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2000)) == 0)
 
 # every op builds a DataFrame; the TIMED action is a noop-sink write,
 # NOT .count(): Catalyst prunes aggregate expressions a count does not
@@ -113,13 +142,39 @@ def run_triangles():
     # degree orientation: the production path for zipf-headed graphs
     return triangle_counts(edges, orient="degree")
 
+def run_decontaminate():
+    # GPT-3 app. C policy: eval grams broadcast, train side never
+    # shuffles for the join
+    return ngram_contamination(docs, bench_docs)
+
+def run_boilerplate():
+    # Lee et al. boilerplate mining: corpus-wide gram groupBy +
+    # TakeOrderedAndProject top-k
+    return frequent_ngrams(docs, min_docs=5, top=50)
+
+def run_embed_neardup():
+    # sign-LSH bucketed cosine near-dup; bits=16 keeps the expected
+    # within-bucket pair count ~n^2/2^bits ~ 30M at 2M vectors;
+    # threshold 3000 (~2.4 sigma for random 64-dim uniforms) keeps the
+    # output non-vacuous while every candidate pair is still scored
+    return near_dup_pairs_embedding(
+        emb, threshold=3000, id_col="doc_id", bits=16
+    )
+
+def run_ivf_build():
+    # distributed Lloyd's: per iteration one mapInPandas GEMM pass
+    # (assignment + per-batch partial sums) + a k-row reduce; the
+    # timed work happens at CONSTRUCTION (driver-coordinated loop)
+    return train_centroids_kmeans(emb, k_centroids=256, id_col="doc_id")
+
 # untimed warmup: scan both inputs once (footer/page-index reads, Arrow
 # + codegen init, JVM JIT of the scan path) and run each op's plan on a
 # tiny slice so compile cost lands outside every timed window
-docs.count(); docs_int.count(); edges.count()
+docs.count(); docs_int.count(); edges.count(); emb.count()
 tiny = docs.limit(2000).localCheckpoint()
 tiny_int = docs_int.limit(2000).localCheckpoint()
 tiny_e = edges.limit(2000).localCheckpoint()
+tiny_emb = emb.limit(2000).localCheckpoint()
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -128,13 +183,23 @@ _noop(span_dedup_stats(tiny_int))
 _noop(tfidf_top_terms(tiny, k=3))
 _noop(pagerank_int(tiny_e, iters=3, small_graph_threshold=0))
 _noop(triangle_counts(tiny_e, orient="degree"))
+_noop(ngram_contamination(tiny, tiny.limit(50)))
+_noop(frequent_ngrams(tiny, min_docs=5, top=50))
+_noop(near_dup_pairs_embedding(
+    tiny_emb, threshold=3000, id_col="doc_id", bits=16))
+_noop(train_centroids_kmeans(
+    tiny_emb, k_centroids=256, id_col="doc_id", iters=1))
 
 out = {"cores": n_cores, "rows": {}}
 for name, run in (("minhash_lsh", run_minhash),
                   ("span_dedup", run_span_dedup),
                   ("tfidf", run_tfidf),
                   ("pagerank", run_pagerank),
-                  ("triangles", run_triangles)):
+                  ("triangles", run_triangles),
+                  ("decontaminate", run_decontaminate),
+                  ("boilerplate", run_boilerplate),
+                  ("embed_neardup", run_embed_neardup),
+                  ("ivf_build", run_ivf_build)):
     # timing wraps construction + drain: the operators' materialize
     # cuts (localCheckpoint) execute eagerly at CONSTRUCTION, so
     # timing only the drain would omit the signature/edge pipelines
@@ -156,6 +221,9 @@ def ensure_inputs(repo: str, n_pages: int, n_nodes: int, n_edges: int):
     edges_path = os.path.join(
         tempfile.gettempdir(), f"kgp_scaling_edges_{n_nodes}_{n_edges}"
     )
+    emb_path = os.path.join(
+        tempfile.gettempdir(), f"kgp_scaling_emb_{n_pages}"
+    )
     gen_parts = []
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         gen_parts.append(
@@ -165,7 +233,6 @@ def ensure_inputs(repo: str, n_pages: int, n_nodes: int, n_edges: int):
         )
     if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
         gen_parts.append(
-            "from pyspark.sql import functions as F\n"
             f"(s.range(0, {n_edges}, numPartitions=128)"
             f".select(F.pmod(F.xxhash64('id', F.lit(1)), {n_nodes})"
             ".alias('src'),"
@@ -175,52 +242,30 @@ def ensure_inputs(repo: str, n_pages: int, n_nodes: int, n_edges: int):
             ".write.mode('overwrite')"
             f".parquet({edges_path!r}))\n"
         )
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        # generated AFTER pages (gen_parts order); the md5-seeded mock
+        # generator is a pure function of the text, so the bytes are
+        # parallelism-independent
+        gen_parts.append(
+            "from kgp.operators.embed import with_embedding\n"
+            f"(with_embedding(s.read.parquet({pages_path!r})"
+            ".select(F.col('url').alias('doc_id'), 'text'))"
+            ".select('doc_id', 'embedding')"
+            ".write.mode('overwrite')"
+            f".parquet({emb_path!r}))\n"
+        )
     if gen_parts:
         gen = (
             "from kgp.session import get_spark\n"
             "from kgp.synth import synth_pages\n"
+            "from pyspark.sql import functions as F\n"
             "s = get_spark('gen', cores=32,"
             " extra_conf={'spark.ui.enabled':'false'})\n"
             + "".join(gen_parts)
             + "s.stop()\n"
         )
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=repo)
-    return pages_path, edges_path
-
-
-def substrate_control() -> dict:
-    """Pure-CPU scaling ceiling of the host, measured: k pinned
-    single-core python processes (k = 8, then 32) run an identical
-    arithmetic loop; the per-process slowdown at width 32 is the
-    hardware ceiling ANY 8-vs-32 comparison on this box inherits
-    (SMT siblings / host-oversubscribed vCPUs share execution units —
-    a real cluster's 4N executors add whole sockets instead). The
-    ceiling is (t8/t32) as a per-core-throughput ratio ≤ 1; raw
-    efficiencies divide by it for the substrate-normalized reading."""
-    burn = (
-        "import time\nt0=time.perf_counter()\nx=0\n"
-        "for i in range(20_000_000): x += i*i % 7\n"
-        "print(time.perf_counter()-t0)\n"
-    )
-    taskset = shutil.which("taskset")
-    res = {}
-    for width in (8, 32):
-        cmds = [
-            ([taskset, "-c", str(i)] if taskset else [])
-            + [sys.executable, "-c", burn]
-            for i in range(width)
-        ]
-        procs = [
-            subprocess.Popen(c, stdout=subprocess.PIPE, text=True)
-            for c in cmds
-        ]
-        times = [float(p.communicate()[0].strip()) for p in procs]
-        res[width] = sum(times) / len(times)
-    return {
-        "sec_per_proc_8": round(res[8], 2),
-        "sec_per_proc_32": round(res[32], 2),
-        "ceiling": round(min(1.0, res[8] / res[32]), 3),
-    }
+    return pages_path, edges_path, emb_path
 
 
 def main() -> None:
@@ -228,7 +273,9 @@ def main() -> None:
     n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     n_edges = int(sys.argv[3]) if len(sys.argv) > 3 else 32_000_000
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pages_path, edges_path = ensure_inputs(repo, n_pages, n_nodes, n_edges)
+    pages_path, edges_path, emb_path = ensure_inputs(
+        repo, n_pages, n_nodes, n_edges
+    )
 
     work = tempfile.mkdtemp(prefix="kgp_scaling_ops_")
     zip_path = shutil.make_archive(
@@ -255,12 +302,27 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
                 "--py-files", zip_path,
                 runner_path, str(cores), pages_path, edges_path,
+                emb_path,
             ], work
         return [
-            sys.executable, "-c", RUNNER, str(cores), pages_path, edges_path
+            sys.executable, "-c", RUNNER, str(cores), pages_path,
+            edges_path, emb_path,
         ], repo
 
-    substrate = substrate_control()
+    sys.path.insert(0, repo)
+    from kgp.substrate import substrate_control
+
+    substrate = substrate_control(repeats=3)
+
+    # one BLAS thread per python worker: the IVF build's numpy GEMM
+    # would otherwise spawn a thread pool per worker and oversubscribe
+    # both legs — corrupting the per-core ratio under measurement
+    leg_env = {
+        **os.environ,
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+    }
 
     rounds = []
     for _round in range(2):
@@ -269,6 +331,7 @@ def main() -> None:
             cmd, cwd = leg_cmd(cores)
             out = subprocess.run(
                 cmd, cwd=cwd, capture_output=True, text=True,
+                env=leg_env,
             )
             if out.returncode != 0:
                 # surface the leg's own stderr — a swallowed
@@ -288,7 +351,8 @@ def main() -> None:
         rounds.append(legs)
 
     op_names = ["minhash_lsh", "span_dedup", "tfidf", "pagerank",
-                "triangles"]
+                "triangles", "decontaminate", "boilerplate",
+                "embed_neardup", "ivf_build"]
     per_op = {}
     for op in op_names:
         best = min(
@@ -360,6 +424,27 @@ def main() -> None:
             f"{n_edges / 1e6:.0f}M edges (degree-oriented wedge "
             "close — the production path, parity-gated vs id order)"
         ),
+        "decontaminate": (
+            f"benchmark decontamination over {n_pages / 1e6:.0f}M docs "
+            "(eval-gram broadcast anti-pattern-free join; train side "
+            "never shuffles for the join)"
+        ),
+        "boilerplate": (
+            f"boilerplate 3-gram mining over {n_pages / 1e6:.0f}M docs "
+            "(corpus gram groupBy, map-side partials, "
+            "TakeOrderedAndProject top-50)"
+        ),
+        "embed_neardup": (
+            f"embedding cosine near-dup over {n_pages / 1e6:.0f}M "
+            "64-dim vectors (sign-LSH 16-bit buckets, exact scoring "
+            "of in-bucket candidates)"
+        ),
+        "ivf_build": (
+            f"IVF index build over {n_pages / 1e6:.0f}M 64-dim vectors "
+            "(distributed Lloyd's k-means, 256 centroids × 3 iters; "
+            "mapInPandas GEMM assignment + k-row reduce; BLAS pinned "
+            "to 1 thread/worker)"
+        ),
     }
     lines = [
         OPS_BEGIN,
@@ -405,8 +490,10 @@ def main() -> None:
         + ".",
         "",
         f"Substrate control (measured by this run, pure CPU, no "
-        f"Spark): 8 vs 32 single-core pinned python processes running "
-        f"an identical arithmetic loop take "
+        f"Spark; median of 3 repeats {substrate['repeats']} — a "
+        f"single-run divisor would violate the repo's own "
+        f"no-single-run-timings rule): 8 vs 32 single-core pinned "
+        f"python processes running an identical arithmetic loop take "
         f"{substrate['sec_per_proc_8']}s vs "
         f"{substrate['sec_per_proc_32']}s per process — this box's "
         f"hardware itself delivers only "
@@ -424,10 +511,21 @@ def main() -> None:
         f"flagship's ≥ 0.8 north rule "
         + ("(MET raw for every op)."
            if summary["min_efficiency"] >= 0.8
-           else "(raw readings below 0.8 are explained by the "
-                "substrate ceiling and the shuffle-volume note; the "
-                "north rule itself is gated on the flagship fused "
-                "pipeline above, which meets it)."),
+           else (
+               "(raw readings below 0.8 clear 0.8 once divided by "
+               "the measured substrate ceiling — the shortfall is "
+               "the box, not the plan; see the shuffle-volume note. "
+               "The north rule itself is gated on the flagship "
+               "fused pipeline above, which meets it raw)."
+               if summary["min_eff_norm"] >= 0.8
+               else "(NOT met even substrate-normalized for the "
+                    "worst op — the residual gap is attributed to "
+                    "shuffle-volume contention per the note below, "
+                    "but the honest record is that this op's "
+                    "normalized reading is below 0.8 on this box. "
+                    "The north rule itself is gated on the flagship "
+                    "fused pipeline above, which meets it raw)."
+           )),
         "",
         "Shuffle-volume note: minhash and span dedup shuffle "
         "corpus-sized intermediates (signatures / span rows), tfidf "

@@ -191,6 +191,16 @@ def main() -> None:
     tfidf_sec = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    # substrate control LAST (idle box, no Spark contention): this
+    # snapshot's slow-host correction factor. The microVM's effective
+    # CPU swings ~3× with host neighbors; the round-4 driver snapshot
+    # read every query 1.03-1.72× an idle-box re-run of identical code.
+    # A reader normalizes any timing by (sec_per_proc_8 of a reference
+    # run / sec_per_proc_8 here); ceiling is the 8→32 per-core ratio.
+    from kgp.substrate import substrate_control
+
     print(
         json.dumps(
             {
@@ -210,10 +220,10 @@ def main() -> None:
                 "kg_pages": n_pages,
                 "kg_triples": n_triples,
                 "kg_entities": n_entities,
+                "substrate_control": substrate_control(repeats=3),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ straggler tasks bounded.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -54,6 +55,46 @@ def _parse_bytes(raw: object, default: int = 128 * 2**20) -> int:
     """
     m = re.fullmatch(r"\s*(\d+)\s*([kmgtb]?)b?\s*", str(raw).lower())
     return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)] if m else default
+
+
+def _jvm_file_sizes(spark, files: list[str]) -> list[int]:
+    """Stat via the JVM Hadoop FileSystem — any scheme the session can
+    read (hdfs, s3a, file). Raises under Spark Connect, where the
+    ``spark._jvm`` private API does not exist (ADVICE r4)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        out.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+    return out
+
+
+def _file_sizes(spark, files: list[str]) -> list[int] | None:
+    """Byte sizes for ``files``, or None when they cannot be statted
+    (callers then skip the narrow-input widening — a conservative
+    no-op, since widening is itself only an optimization).
+
+    First choice is the JVM Hadoop FileSystem; under Spark Connect
+    (no ``_jvm``) fall back to a pure-Python stat for file:/local
+    paths and give up on remote schemes.
+    """
+    try:
+        return _jvm_file_sizes(spark, files)
+    except Exception:
+        pass
+    try:
+        from urllib.parse import unquote, urlparse
+
+        out = []
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return None
+            out.append(os.path.getsize(unquote(u.path)))
+        return out
+    except OSError:
+        return None
 
 
 def exact_dup_groups(
@@ -237,17 +278,13 @@ def near_dup_pairs_minhash(
         max_pb = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        est_tasks = 0
-        for f in files:  # bounded: len(files) < cores by the guard
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
-            est_tasks += max(1, -(-size // max_pb))
-            if est_tasks >= want:
-                break
-        if est_tasks < want:
-            docs = docs.repartition(want, id_col)
+        # bounded: len(files) < cores by the guard; None (unstattable
+        # — e.g. Spark Connect + a remote scheme) skips widening
+        sizes = _file_sizes(spark, files)
+        if sizes is not None:
+            est_tasks = sum(max(1, -(-size // max_pb)) for size in sizes)
+            if est_tasks < want:
+                docs = docs.repartition(want, id_col)
     sets_df = docs.select(
         id_col, shingles_col(F.col(text_col)).alias("shingles")
     )
@@ -368,36 +405,11 @@ def frequent_ngrams(
 SPAN_TOKENS = 10
 
 
-def span_dedup_stats(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = SPAN_TOKENS,
+def _span_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """C4 span-level dedup (Raffel et al. 2020 §2.2: any three-sentence
-    span occurring more than once in the corpus is removed, keeping one
-    occurrence), adapted to line-less corpora as non-overlapping
-    ``k``-token blocks — the sub-document complement of the doc-level
-    families above (a page sharing one boilerplate paragraph with
-    another page is untouched by doc-level dedup but cleaned here).
-
-    Keeper = the globally first occurrence by (id, block position), the
-    C4 "retain one" rule made deterministic. Output per doc:
-    (id, n_spans, n_dup_spans, n_removed, clean_md5) where clean_md5 is
-    the md5 of the doc's text after removal (kept blocks re-joined in
-    position order) — the digest stands in for the cleaned text so the
-    cross-engine gate stays scalar (no ARRAY columns).
-
-    Scale shape: block explode is narrow; the span groupBy partially
-    aggregates map-side (one row per distinct span per partition); the
-    count join back is keyed on the same span hash; the per-doc
-    reassembly is one more shuffle carrying only kept blocks. Head
-    spans (empty/boilerplate blocks) are exactly the AQE skew-split
-    case. At 100 TB the reassembly groupBy is the honest cost of
-    C4-style cleaning — the alternative (flag-only, defer rewriting to
-    the sink writer) drops the third shuffle; this operator returns the
-    digest so tests pin the rewrite semantics end-to-end.
-    """
+    """Explode docs into non-overlapping ``k``-token blocks with the
+    packed keeper key ``_sk`` (see span_dedup_stats)."""
     from pyspark.sql import types as T
 
     wt = docs.select(
@@ -458,23 +470,108 @@ def span_dedup_stats(
         spans = spans.withColumn(
             "_sk", F.struct(F.col(id_col), F.col("pos"))
         )
-    # (cnt, keeper) per span via a WINDOW over the span key, not a
-    # groupBy + join back: on web corpora almost every span is unique
-    # (measured 19.98M distinct of 20.5M at 2M synthetic docs), so the
-    # aggregate table is as large as the span table itself and the
-    # count join degenerates into a corpus×corpus sort-merge join on a
-    # ~100-byte string key. The window shuffles the span table ONCE on
-    # the same key and sorts one side instead of two (measured at 2M
-    # docs / local[32], full-drain: ~39 s with groupBy+join → ~14 s
-    # with the window), and the span table then has a single consumer,
-    # so nothing needs materializing.
+    return spans
+
+
+def _span_annotated(
+    spans: DataFrame, hot_span_cap: int | None
+) -> DataFrame:
+    """Annotate span rows with (cnt, _keeper) per distinct span value.
+
+    Default path: a WINDOW over the span key, not a groupBy + join
+    back — on web corpora almost every span is unique (measured
+    19.98M distinct of 20.5M at 2M synthetic docs), so the aggregate
+    table is as large as the span table itself and the count join
+    degenerates into a corpus×corpus sort-merge join on a ~100-byte
+    string key. The window shuffles the span table ONCE on the same
+    key and sorts one side instead of two (measured at 2M docs /
+    local[32], full-drain: ~39 s with groupBy+join → ~14 s with the
+    window), and the span table then has a single consumer, so
+    nothing needs materializing.
+
+    The window's exposure (ADVICE r4): window partitions get no
+    map-side partial aggregation and no AQE skew split, so ONE
+    boilerplate-hot span (an empty block, a legal banner) puts all
+    its rows in one unsplittable task. ``hot_span_cap`` is the
+    opt-in guard, mirroring lsh_candidate_pairs' max_bucket: a
+    map-side-partial (hence skew-immune) groupBy pre-counts spans,
+    spans hotter than the cap resolve their (cnt, keeper) from that
+    broadcast-small hot table, and only the bounded-cardinality
+    (≤ cap rows per span) remainder flows through the window. The
+    guard costs one extra corpus-sized shuffle (the pre-count) plus a
+    second pass over the span lineage — ~2× the unguarded cost — so
+    it stays opt-in, for corpora where exact/boilerplate dedup has
+    NOT already removed the hot blocks. Semantics are identical
+    either way (parity-tested).
+    """
     from pyspark.sql.window import Window
 
     w_span = Window.partitionBy("span")
-    j = spans.withColumn(
-        "cnt", F.count(F.lit(1)).over(w_span)
-    ).withColumn("_keeper", F.min("_sk").over(w_span))
-    kept = (F.col("cnt") == 1) | (F.col("_sk") == F.col("_keeper"))
+    if hot_span_cap is None:
+        return spans.withColumn(
+            "cnt", F.count(F.lit(1)).over(w_span)
+        ).withColumn("_keeper", F.min("_sk").over(w_span))
+    from kgp.materialize import materialize as _mat
+
+    # materialize: the hot table is consumed twice (resolve join +
+    # anti join) and its lineage is the full corpus pre-count
+    hot = F.broadcast(
+        _mat(
+            spans.groupBy("span")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("_sk").alias("_keeper"),
+            )
+            .filter(F.col("cnt") > hot_span_cap)
+        )
+    )
+    hot_rows = spans.join(hot, "span")
+    cold_rows = (
+        spans.join(hot.select("span"), "span", "left_anti")
+        .withColumn("cnt", F.count(F.lit(1)).over(w_span))
+        .withColumn("_keeper", F.min("_sk").over(w_span))
+    )
+    return hot_rows.unionByName(cold_rows.select(*hot_rows.columns))
+
+
+def _span_kept() -> Column:
+    return (F.col("cnt") == 1) | (F.col("_sk") == F.col("_keeper"))
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """C4 span-level dedup (Raffel et al. 2020 §2.2: any three-sentence
+    span occurring more than once in the corpus is removed, keeping one
+    occurrence), adapted to line-less corpora as non-overlapping
+    ``k``-token blocks — the sub-document complement of the doc-level
+    families above (a page sharing one boilerplate paragraph with
+    another page is untouched by doc-level dedup but cleaned here).
+
+    Keeper = the globally first occurrence by (id, block position), the
+    C4 "retain one" rule made deterministic. Output per doc:
+    (id, n_spans, n_dup_spans, n_removed, clean_md5) where clean_md5 is
+    the md5 of the doc's text after removal (kept blocks re-joined in
+    position order) — the digest stands in for the cleaned text so the
+    cross-engine gate stays scalar (no ARRAY columns).
+
+    Scale shape: block explode is narrow; (cnt, keeper) per span comes
+    from one window over the span key (see _span_annotated — including
+    the hot-span exposure and the opt-in ``hot_span_cap`` guard); the
+    per-doc reassembly is one more shuffle carrying only kept blocks.
+    At 100 TB the reassembly groupBy is the honest cost of C4-style
+    cleaning — span_dedup_flags is the flag-only variant that drops
+    it; this operator returns the digest so tests pin the rewrite
+    semantics end-to-end.
+    """
+    j = _span_annotated(
+        _span_rows(docs, id_col, text_col, k), hot_span_cap
+    )
+    kept = _span_kept()
     return j.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
@@ -498,6 +595,33 @@ def span_dedup_stats(
                 ),
             )
         ).alias("clean_md5"),
+    )
+
+
+def span_dedup_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """Flag-only C4 span dedup: one row per ``k``-token block,
+    ``(id, pos, is_dup, kept)`` — the 100 TB writer-side variant of
+    span_dedup_stats. Skips the per-doc reassembly groupBy (the third
+    shuffle, which carries every kept block): the sink writer rewrites
+    each document as it streams blocks, dropping ``kept = false``
+    ones, so the flags table is the whole distributed cost.
+    Consistency with span_dedup_stats (n_spans = rows per id,
+    n_removed = rows with kept = false) is pinned in tests.
+    """
+    j = _span_annotated(
+        _span_rows(docs, id_col, text_col, k), hot_span_cap
+    )
+    return j.select(
+        id_col,
+        "pos",
+        (F.col("cnt") > 1).alias("is_dup"),
+        _span_kept().alias("kept"),
     )
 
 

@@ -157,7 +157,9 @@ def pagerank_int(
     return ranks
 
 
-def _tri_degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+def _tri_degree_oriented(
+    e: DataFrame, deg: DataFrame, materialize: bool = True
+) -> DataFrame:
     """Schank-Wagner degree-oriented wedge close over canonical edges
     ``e(src, dst)`` (src < dst, distinct) with ``deg(id, degree)``:
     orient each edge from its (degree, id)-smaller endpoint, pivot
@@ -174,15 +176,18 @@ def _tri_degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
     ed = e.join(ds, "src").join(dd, "dst")
     # canonical input has src < dst, so <= breaks degree ties by id
     fwd = F.col("_dsrc") <= F.col("_ddst")
-    o = _mat(
-        ed.select(
-            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-            F.when(fwd, F.col("_ddst"))
-            .otherwise(F.col("_dsrc"))
-            .alias("_dv"),
-        )
-    )  # consumed three times (two wedge sides + the closing probe)
+    o = ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("_ddst"))
+        .otherwise(F.col("_dsrc"))
+        .alias("_dv"),
+    )
+    if materialize:
+        # consumed three times (two wedge sides + the closing probe);
+        # callers that opted out of materialization (ADVICE r4: the
+        # flag was ignored here) recompute the projection instead
+        o = _mat(o)
     w1 = o.select("u", F.col("v").alias("b"), F.col("_dv").alias("_db"))
     w2 = o.select("u", F.col("v").alias("c"), F.col("_dv").alias("_dc"))
     wedges = w1.join(w2, "u").filter(
@@ -269,7 +274,7 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     if orient == "degree":
-        tri = _tri_degree_oriented(e, deg)
+        tri = _tri_degree_oriented(e, deg, materialize)
     else:
         wedges = e.select(
             F.col("src").alias("a"), F.col("dst").alias("b")

@@ -49,6 +49,12 @@ def word_token_count_col(text: Column) -> Column:
     ).cast("long")
 
 
+# whitespace class for truncate_tokens_cols and its DuckDB twin —
+# every \s member BOTH Java regex and RE2 agree on (Java adds \x0B,
+# RE2 does not; see the docstring below)
+TRUNC_WS_CLASS = r" \t\n\f\r"
+
+
 def truncate_tokens_cols(
     text: Column, max_tokens: int
 ) -> tuple[Column, Column]:
@@ -64,12 +70,20 @@ def truncate_tokens_cols(
     patterns run under DuckDB's RE2 for the oracle twin; RE2 caps
     bounded repetition at 1000, so oracle-gated uses keep
     ``max_tokens`` ≤ 1000 (Java regex in the production path has no
-    such cap — a 10k-token training cut is fine).
+    such cap — a 10k-token training cut is fine). Whitespace is the
+    explicit class ``TRUNC_WS_CLASS`` rather than ``\\s`` because the
+    engines disagree on vertical tab: Java ``\\s`` matches \\x0B, RE2
+    does not — with ``\\s`` a doc containing \\x0B tokenizes
+    differently across the oracle pair. \\x0B is treated as a token
+    character on both sides (the RE2 reading).
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    over_pat = r"^\s*(\S+\s+){%d}\S" % max_tokens
-    keep_pat = r"^(\s*\S+(\s+\S+){0,%d})" % (max_tokens - 1)
+    ws, tok = f"[{TRUNC_WS_CLASS}]", f"[^{TRUNC_WS_CLASS}]"
+    over_pat = "^%s*(%s+%s+){%d}%s" % (ws, tok, ws, max_tokens, tok)
+    keep_pat = "^(%s*%s+(%s+%s+){0,%d})" % (
+        ws, tok, ws, tok, max_tokens - 1,
+    )
     over = text.rlike(over_pat)
     return (
         F.when(over, F.regexp_extract(text, keep_pat, 1)).otherwise(

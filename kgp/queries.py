@@ -54,58 +54,64 @@ def _load_registrations() -> None:
     import kgp.queries_ext  # noqa: F401
 
 
-# Round-4 rotation: the driver records the FIRST 50 registry entries.
-# After round 3, 35 oracles' newest green driver row was r02 (all
-# demoted keepers or early-round entries) and 50 were r03-green. This
-# window rotates ALL 35 r02-newest entries back in so that after this
-# round no oracle's newest driver row is more than one round old, and
-# keeps 15 r03-green keepers whose code paths were touched this round
-# (minhash verify semi-join, triangle input canonicalization,
-# hash_split validation, domain extraction fix, and every consumer of
-# the new config-driven materialize helper: pagerank/triangles/tfidf/
-# canon/ivf) plus the flagship byte-identity pair. Everything demoted
-# was green in CORRECTNESS_r03 and stays continuously verified by the
-# in-repo sf0.01 oracle gate (tests/test_queries_oracle.py). Entries
-# not listed here sort after the window by (tier, registration
-# order), rows-only last.
+# Round-5 rotation: the driver records the FIRST 50 registry entries.
+# After round 4, 36 oracles' newest green driver row was r03 (the
+# round-4 demotions) and 50 were r04-green. This window rotates ALL
+# 36 r03-newest entries back in so that after this round no oracle's
+# newest driver row is more than one round old, and keeps 14
+# r04-green keepers: the code paths touched this round (span hot-span
+# guard → docs_span_dedup; \x0B whitespace-class fix →
+# docs_token_truncate; triangle materialize-flag threading →
+# kg_triangle_counts; Spark-Connect-safe file-size probe →
+# dedup_minhash_lsh_pairs + its cluster/CC consumers), the operators
+# the round-5 scaling harness measures (kg_pagerank,
+# docs_tfidf_top_terms, ann_topk_ivf), the flagship byte-identity
+# pair (kg_triples, pages_extracted_docs), and three bench.py
+# headline queries (dedup_simhash_groups, ann_topk_bruteforce,
+# top_customers_by_revenue — the bucketed-join path). Everything
+# demoted was green in CORRECTNESS_r04 and stays continuously
+# verified by the in-repo sf0.01 oracle gate
+# (tests/test_queries_oracle.py). Entries not listed here sort after
+# the window by (tier, registration order), rows-only last.
 DRIVER_WINDOW: list[str] = [
-    # -- rotated in: newest driver row r02 (35 entries) --
-    "kg_mentions",
-    "kg_entities",
-    "kg_onehop_facts",
-    "kg_linked_mentions",
-    "kg_entity_cooccurrence",
-    "kg_doc_entity_sets",
-    "kg_docs_with_entity",
-    "kg_graph_export_nodes",
-    "kg_graph_export_edges",
-    "svo_pattern_triples",
-    "pages_video_timeline",
-    "pages_triples",
-    "pages_entities",
-    "pages_segment_triples",
-    "pages_canonical_entities",
-    "pages_near_dup_pairs",
-    "pages_frame_samples",
-    "dedup_exact_groups",
-    "dedup_fingerprint_groups",
-    "dedup_simhash_groups",
-    "dedup_ngram_jaccard_pairs",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "text_quality_features",
-    "text_lang_id",
-    "embedding_monthly_centroid",
-    "tpch_pricing_summary",
-    "tpch_q3ish_shipping_priority",
-    "top_customers_by_revenue",
-    "customers_without_big_orders",
-    "events_json_extract",
-    "events_date_roundtrip",
-    "events_topn_per_user",
-    "events_monthly_by_type",
-    "events_value_percentiles_exact",
-    # -- keepers: r03-green, code path touched in round 4 --
+    # -- rotated in: newest driver row r03 (36 entries) --
+    "dedup_embedding_pairs",
+    "docs_boilerplate_ngrams",
+    "docs_decontamination",
+    "docs_repetition_stats",
+    "docs_rolling_fingerprint",
+    "events_asof_last_purchase",
+    "events_range_pairs",
+    "events_rollup_by_type",
+    "events_user_gaps",
+    "events_user_setops",
+    "kg_all_nodes",
+    "kg_entity_doc_counts",
+    "kg_entity_doc_counts_salted",
+    "kg_entity_union",
+    "kg_graph_export_counts",
+    "kg_run_stats",
+    "kg_run_success_rate",
+    "kg_search_suggestions",
+    "kg_triples_canonical",
+    "pages_content_truncated",
+    "pages_corpus_stats",
+    "pages_embeddings",
+    "pages_fresh_filter",
+    "pages_html_media_features",
+    "pages_lang_id",
+    "pages_linked_entities",
+    "pages_quality_scores",
+    "pages_segments",
+    "pages_video_info",
+    "part_brand_stats",
+    "source_id_extract",
+    "source_strategy_dispatch",
+    "suppliers_per_region_nation",
+    "temporal_search_filtered",
+    "text_quality_score",
+    "text_token_counts",
+    # -- keepers: r04-green, touched/measured in round 5 --
     "kg_triples",
     "pages_extracted_docs",
     "dedup_minhash_lsh_pairs",
@@ -115,16 +121,11 @@ DRIVER_WINDOW: list[str] = [
     "kg_triangle_counts",
     "docs_tfidf_top_terms",
     "ann_topk_ivf",
-    "docs_train_split",
-    "pages_domain_stats",
-    "pages_domain_capped",
-    "pages_blocklist_filtered",
     "docs_span_dedup",
-    # docs_decontamination demoted (r03-green; the anti-join shape
-    # stays in-window via pages_blocklist_filtered) to admit the new
-    # --max-tokens-per-doc truncation operator, which has no driver
-    # row yet:
     "docs_token_truncate",
+    "dedup_simhash_groups",
+    "ann_topk_bruteforce",
+    "top_customers_by_revenue",
 ]
 
 

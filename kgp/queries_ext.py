@@ -581,12 +581,17 @@ def q_text_token_counts(spark, sf_dir):
 
 @register(
     "docs_token_truncate",
-    r"""
+    # whitespace is the explicit TRUNC_WS_CLASS, not \s: Java \s
+    # matches \x0B, RE2 \s does not — kgp.operators.textstats
+    f"""
 SELECT doc_id,
-       CASE WHEN regexp_matches(text, '^\s*(\S+\s+){32}\S')
-            THEN regexp_extract(text, '^(\s*\S+(\s+\S+){0,31})', 1)
+       CASE WHEN regexp_matches(text,
+                 '^[{T.TRUNC_WS_CLASS}]*([^{T.TRUNC_WS_CLASS}]+[{T.TRUNC_WS_CLASS}]+){{32}}[^{T.TRUNC_WS_CLASS}]')
+            THEN regexp_extract(text,
+                 '^([{T.TRUNC_WS_CLASS}]*[^{T.TRUNC_WS_CLASS}]+([{T.TRUNC_WS_CLASS}]+[^{T.TRUNC_WS_CLASS}]+){{0,31}})', 1)
             ELSE text END AS text_trunc,
-       CASE WHEN regexp_matches(text, '^\s*(\S+\s+){32}\S')
+       CASE WHEN regexp_matches(text,
+                 '^[{T.TRUNC_WS_CLASS}]*([^{T.TRUNC_WS_CLASS}]+[{T.TRUNC_WS_CLASS}]+){{32}}[^{T.TRUNC_WS_CLASS}]')
             THEN 1 ELSE 0 END AS was_truncated
 FROM documents
 """,

@@ -87,36 +87,36 @@ def test_driver_window_invariants():
     assert names[:50] == DRIVER_WINDOW
     for n in DRIVER_WINDOW:
         assert _REGISTRY[n][1] is not None, f"{n} has no oracle"
-    # everything outside the window is either r03-driver-green (the
-    # round-4 rotation demoted 35 r03-green entries to re-verify every
-    # r02-newest oracle) or rows-only — a NEW oracle entry must be
+    # everything outside the window is either r04-driver-green (the
+    # round-5 rotation demoted 36 r04-green entries to re-verify every
+    # r03-newest oracle) or rows-only — a NEW oracle entry must be
     # added to the window
-    r03_green_or_rows_only = {
+    r04_green_or_rows_only = {
         # rows-only approx sketches (HLL++/KLL internals differ across
         # engines by design — never window-eligible)
         "events_approx_distinct_users", "events_value_percentiles",
-        # r03-driver-green, demoted for the round-4 rotation; all stay
+        # r04-driver-green, demoted for the round-5 rotation; all stay
         # continuously verified by this module's sf0.01 oracle gate
-        "dedup_embedding_pairs", "docs_boilerplate_ngrams",
-        "docs_decontamination",
-        "docs_repetition_stats", "docs_rolling_fingerprint",
-        "events_asof_last_purchase", "events_range_pairs",
-        "events_rollup_by_type", "events_user_gaps",
-        "events_user_setops", "kg_all_nodes", "kg_entity_doc_counts",
-        "kg_entity_doc_counts_salted", "kg_entity_union",
-        "kg_graph_export_counts", "kg_run_stats",
-        "kg_run_success_rate", "kg_search_suggestions",
-        "kg_triples_canonical", "pages_content_truncated",
-        "pages_corpus_stats", "pages_embeddings", "pages_fresh_filter",
-        "pages_html_media_features", "pages_lang_id",
-        "pages_linked_entities", "pages_quality_scores",
-        "pages_segments", "pages_video_info", "part_brand_stats",
-        "source_id_extract", "source_strategy_dispatch",
-        "suppliers_per_region_nation", "temporal_search_filtered",
-        "text_quality_score", "text_token_counts",
+        "kg_mentions", "kg_entities", "kg_onehop_facts",
+        "kg_linked_mentions", "kg_entity_cooccurrence",
+        "kg_doc_entity_sets", "kg_docs_with_entity",
+        "kg_graph_export_nodes", "kg_graph_export_edges",
+        "svo_pattern_triples", "pages_video_timeline",
+        "pages_triples", "pages_entities", "pages_segment_triples",
+        "pages_canonical_entities", "pages_near_dup_pairs",
+        "pages_frame_samples", "dedup_exact_groups",
+        "dedup_fingerprint_groups", "dedup_ngram_jaccard_pairs",
+        "ann_topk_lsh", "text_quality_features", "text_lang_id",
+        "embedding_monthly_centroid", "tpch_pricing_summary",
+        "tpch_q3ish_shipping_priority", "customers_without_big_orders",
+        "events_json_extract", "events_date_roundtrip",
+        "events_topn_per_user", "events_monthly_by_type",
+        "events_value_percentiles_exact", "docs_train_split",
+        "pages_domain_stats", "pages_domain_capped",
+        "pages_blocklist_filtered",
     }
     outside = set(names[50:])
-    assert outside <= r03_green_or_rows_only, (
+    assert outside <= r04_green_or_rows_only, (
         "new entries must go INTO the driver window: "
-        f"{outside - r03_green_or_rows_only}"
+        f"{outside - r04_green_or_rows_only}"
     )

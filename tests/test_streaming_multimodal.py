@@ -147,7 +147,7 @@ def test_media_features_sizes(spark):
     assert feats.filter(F.length("payload_md5") != 32).count() == 0
 
 
-def test_image_stub_raises_from_executaccording_plumbing(spark):
+def test_image_stub_raises_from_executor_side_plumbing(spark):
     pages = synth_pages(spark, 5)
     df = decode_image_stub(pages)
     assert df.schema.simpleString() == (
