@@ -268,6 +268,32 @@ def ensure_inputs(repo: str, n_pages: int, n_nodes: int, n_edges: int):
     return pages_path, edges_path, emb_path
 
 
+def _load_state(state_path: str) -> dict:
+    """Resume ledger: a 2h run must survive the orchestrating session
+    dying mid-flight (one such death cost a full round-4 re-run).
+    Only FULLY-completed rounds are persisted — a round interrupted
+    between its two legs restarts from its 8-core leg, so the
+    within-round back-to-back pairing the noise protocol depends on
+    is never silently broken by a resume gap."""
+    state: dict = {"substrates": [], "rounds": []}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            loaded = json.load(f)
+        state["substrates"] = loaded.get("substrates", [])
+        state["rounds"] = [
+            {int(k): v for k, v in r.items()}
+            for r in loaded.get("rounds", [])
+        ]
+    return state
+
+
+def _save_state(state_path: str, state: dict) -> None:
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)
+
+
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
@@ -276,6 +302,17 @@ def main() -> None:
     pages_path, edges_path, emb_path = ensure_inputs(
         repo, n_pages, n_nodes, n_edges
     )
+    state_path = os.path.join(
+        tempfile.gettempdir(),
+        f"kgp_scaling_ops_state_{n_pages}_{n_nodes}_{n_edges}.json",
+    )
+    state = _load_state(state_path)
+    if state["rounds"]:
+        print(
+            f"resuming: {len(state['rounds'])} completed round(s) "
+            f"loaded from {state_path}",
+            file=sys.stderr,
+        )
 
     work = tempfile.mkdtemp(prefix="kgp_scaling_ops_")
     zip_path = shutil.make_archive(
@@ -312,7 +349,13 @@ def main() -> None:
     sys.path.insert(0, repo)
     from kgp.substrate import substrate_control
 
-    substrate = substrate_control(repeats=3)
+    # one control per invocation; across a resumed run, normalize by
+    # the HIGHEST measured ceiling (dividing by the largest ceiling
+    # yields the smallest normalized efficiency — the conservative
+    # choice when the box's conditions differed across segments)
+    state["substrates"].append(substrate_control(repeats=3))
+    _save_state(state_path, state)
+    substrate = max(state["substrates"], key=lambda s: s["ceiling"])
 
     # one BLAS thread per python worker: the IVF build's numpy GEMM
     # would otherwise spawn a thread pool per worker and oversubscribe
@@ -324,10 +367,14 @@ def main() -> None:
         "MKL_NUM_THREADS": "1",
     }
 
-    rounds = []
-    for _round in range(2):
+    rounds = state["rounds"]
+    while len(rounds) < 2:
         legs = {}
         for cores in (8, 32):
+            print(
+                f"round {len(rounds) + 1}/2 leg local[{cores}] ...",
+                file=sys.stderr, flush=True,
+            )
             cmd, cwd = leg_cmd(cores)
             out = subprocess.run(
                 cmd, cwd=cwd, capture_output=True, text=True,
@@ -349,6 +396,7 @@ def main() -> None:
                 ignore_errors=True,
             )
         rounds.append(legs)
+        _save_state(state_path, state)
 
     op_names = ["minhash_lsh", "span_dedup", "tfidf", "pagerank",
                 "triangles", "decontaminate", "boilerplate",

@@ -18,7 +18,9 @@ Stages (each committed through the lineage ledger; rerunning with the
 same --output skips committed stages): docs → filtered (lang + quality
 gate) → deduped (exact md5 keep-min, then MinHash-LSH near-dup
 pruning) → decontaminated (only with --benchmark: drop docs sharing
-any 3-token shingle with the eval set) → capped (only with
+any 3-token shingle with the eval set) → span_cleaned (only with
+--span-dedup-tokens: C4 span-level dedup — duplicated K-token blocks
+removed corpus-wide, first occurrence kept) → capped (only with
 --max-per-domain: keep the K highest-quality docs per url domain) →
 truncated (only with --max-tokens-per-doc: cap each doc at its first
 N whitespace tokens, applied after dedup/decontamination so those
@@ -63,6 +65,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="cap each surviving doc at its first N"
                          " whitespace tokens (original whitespace"
                          " preserved; default off)")
+    ap.add_argument("--span-dedup-tokens", type=int, default=None,
+                    help="C4 span-level dedup: remove duplicated"
+                         " K-token blocks corpus-wide (first occurrence"
+                         " kept; docs losing no block pass through"
+                         " byte-identical; default off)")
+    ap.add_argument("--span-hot-cap", type=int, default=None,
+                    help="opt-in hot-span skew guard for"
+                         " --span-dedup-tokens: spans hotter than this"
+                         " resolve from a broadcast pre-count instead"
+                         " of one unsplittable window task")
     ap.add_argument("--repartition", type=int, default=0,
                     help="url-hash repartition width before extraction")
     ap.add_argument("--run-id", default=None)
@@ -103,7 +115,10 @@ def main(argv: list[str] | None = None) -> int:
         f"near_dup={args.near_dup} benchmark={args.benchmark or ''} "
         f"max_dup_ratio={args.max_dup_ratio} "
         f"max_per_domain={args.max_per_domain} "
-        f"max_tokens_per_doc={args.max_tokens_per_doc}"
+        f"max_tokens_per_doc={args.max_tokens_per_doc} "
+        # span_hot_cap is deliberately NOT in the contract: it is a
+        # physical-plan choice with parity-tested identical output
+        f"span_dedup_tokens={args.span_dedup_tokens}"
     )
     prev = fsutil.resume_marker_guard(
         spark, f"{args.output}/_run_contract", contract
@@ -132,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_ratio_e4=args.max_dup_ratio,
         max_per_domain=args.max_per_domain,
         max_tokens_per_doc=args.max_tokens_per_doc,
+        span_dedup_tokens=args.span_dedup_tokens,
+        span_hot_cap=args.span_hot_cap,
     )
     print(f"run_id={runner.run_id} executed={runner.executed} "
           f"skipped={runner.skipped}")

@@ -160,6 +160,8 @@ def build_training_pipeline(
     max_dup_ratio_e4: int | None = None,
     max_per_domain: int | None = None,
     max_tokens_per_doc: int | None = None,
+    span_dedup_tokens: int | None = None,
+    span_hot_cap: int | None = None,
 ) -> StageRunner:
     """LLM training-data prep as resumable stages — the cleaning
     recipe every web-corpus pipeline runs (C4/Gopher/RefinedWeb
@@ -178,6 +180,16 @@ def build_training_pipeline(
                         eval set — GPT-3 appendix-C policy; eval gram
                         set broadcast, kgp.operators.dedup
                         .ngram_contamination)
+          → span_cleaned (only when ``span_dedup_tokens`` is given:
+                        C4 §2.2 span-level dedup as a text rewrite —
+                        duplicated k-token blocks removed corpus-wide,
+                        first occurrence kept; docs losing no block
+                        ride through byte-identical. Runs AFTER
+                        doc-level dedup and decontamination so both
+                        compare full documents (same rationale as
+                        truncation); ``span_hot_cap`` opts into the
+                        boilerplate-hot-span skew guard.
+                        kgp.operators.dedup.span_cleaned_docs)
           → capped     (only when ``max_per_domain`` is given: keep
                         the ``max_per_domain`` highest-quality docs
                         per url domain — mega-domain quota, the
@@ -309,6 +321,22 @@ def build_training_pipeline(
 
         final = runner.stage("decontaminated", _decontaminated)
         if stop_after == "decontaminated":
+            return runner
+
+    if span_dedup_tokens is not None:
+        from kgp.operators.dedup import span_cleaned_docs
+
+        def _span_cleaned(src: DataFrame = final) -> DataFrame:
+            return span_cleaned_docs(
+                src,
+                id_col="doc_id",
+                text_col="extracted_text",
+                k=span_dedup_tokens,
+                hot_span_cap=span_hot_cap,
+            )
+
+        final = runner.stage("span_cleaned", _span_cleaned)
+        if stop_after == "span_cleaned":
             return runner
 
     if max_per_domain is not None:

@@ -625,6 +625,74 @@ def span_dedup_flags(
     )
 
 
+def span_cleaned_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """C4 span dedup as a TEXT REWRITE: return ``docs`` with
+    ``text_col`` replaced by the span-cleaned text — duplicated
+    ``k``-token blocks removed, keeping the globally-first occurrence
+    (the same (cnt, keeper) law as span_dedup_stats; parity with its
+    ``clean_md5`` digest is pinned in tests). This is the operator the
+    training-data prep pipeline materializes as its ``span_cleaned``
+    stage; span_dedup_stats is the audit view, span_dedup_flags the
+    writer-side variant.
+
+    Untouched docs (no removed block) keep their ORIGINAL text
+    byte-identically — only docs that lose at least one block are
+    rebuilt from their kept blocks (re-joined with single spaces in
+    position order, the same normalization clean_md5 digests). That
+    keeps the stage a byte-identity pass-through for the overwhelmingly
+    common clean case and shrinks the rebuild join to the affected
+    docs.
+
+    Scale shape: block explode + one window over the span key
+    (_span_annotated, including the opt-in ``hot_span_cap`` skew
+    guard), a groupBy reassembly carrying only affected docs' kept
+    blocks, and one join back on ``id_col`` — the corpus side arrives
+    already hash-partitioned on ``id_col`` from no prior shuffle, so
+    this is the honest one-extra-shuffle cost of rewriting text
+    in-engine (the flags variant trades it for sink-writer logic).
+    """
+    j = _span_annotated(
+        _span_rows(docs, id_col, text_col, k), hot_span_cap
+    )
+    kept = _span_kept()
+    rebuilt = (
+        j.groupBy(id_col)
+        .agg(
+            F.sum(F.when(kept, 0).otherwise(1)).alias("_n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("pos"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+            ).alias("_span_clean"),
+        )
+        .filter(F.col("_n_removed") > 0)
+        .select(id_col, "_span_clean")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col,
+            F.coalesce(F.col("_span_clean"), F.col(text_col)),
+        )
+        .drop("_span_clean")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

@@ -58,7 +58,7 @@ def _load_registrations() -> None:
 # After round 4, 36 oracles' newest green driver row was r03 (the
 # round-4 demotions) and 50 were r04-green. This window rotates ALL
 # 36 r03-newest entries back in so that after this round no oracle's
-# newest driver row is more than one round old, and keeps 14
+# newest driver row is more than one round old, and keeps 13
 # r04-green keepers: the code paths touched this round (span hot-span
 # guard → docs_span_dedup; \x0B whitespace-class fix →
 # docs_token_truncate; triangle materialize-flag threading →
@@ -66,9 +66,9 @@ def _load_registrations() -> None:
 # dedup_minhash_lsh_pairs + its cluster/CC consumers), the operators
 # the round-5 scaling harness measures (kg_pagerank,
 # docs_tfidf_top_terms, ann_topk_ivf), the flagship byte-identity
-# pair (kg_triples, pages_extracted_docs), and three bench.py
-# headline queries (dedup_simhash_groups, ann_topk_bruteforce,
-# top_customers_by_revenue — the bucketed-join path). Everything
+# pair (kg_triples, pages_extracted_docs), and two bench.py
+# headline queries (dedup_simhash_groups, ann_topk_bruteforce);
+# plus the round-5 NEW entry docs_span_cleaned. Everything
 # demoted was green in CORRECTNESS_r04 and stays continuously
 # verified by the in-repo sf0.01 oracle gate
 # (tests/test_queries_oracle.py). Entries not listed here sort after
@@ -122,10 +122,14 @@ DRIVER_WINDOW: list[str] = [
     "docs_tfidf_top_terms",
     "ann_topk_ivf",
     "docs_span_dedup",
+    # NEW in round 5: the span-rewrite sibling (prep-pipeline
+    # span_cleaned stage) — new oracles are always window-eligible;
+    # top_customers_by_revenue (r04-green, untouched this round) was
+    # demoted to make room
+    "docs_span_cleaned",
     "docs_token_truncate",
     "dedup_simhash_groups",
     "ann_topk_bruteforce",
-    "top_customers_by_revenue",
 ]
 
 

@@ -2049,6 +2049,46 @@ def q_docs_span_dedup(spark, sf_dir):
     return span_dedup_stats(docs, k=10)
 
 
+@register(
+    "docs_span_cleaned",
+    """
+WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS span
+       FROM wt,
+            unnest(range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)) AS t(i)),
+m AS (SELECT doc_id, pos, span,
+             count(*) OVER (PARTITION BY span) AS cnt,
+             row_number() OVER (
+               PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM sp),
+reb AS (SELECT doc_id,
+               count(*) FILTER (cnt > 1 AND rn > 1) AS n_removed,
+               coalesce(string_agg(span, ' ' ORDER BY pos)
+                          FILTER (cnt = 1 OR rn = 1), '') AS clean
+        FROM m GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN r.n_removed > 0 THEN r.clean ELSE d.text END AS text
+FROM documents d JOIN reb r USING (doc_id)
+""",
+)
+def q_docs_span_cleaned(spark, sf_dir):
+    """C4 span dedup as a text REWRITE (kgp.operators.dedup
+    .span_cleaned_docs — the operator the prep pipeline materializes
+    via --span-dedup-tokens): duplicated 10-token blocks removed
+    keeping the globally-first occurrence; docs losing no block keep
+    their ORIGINAL text byte-identically (the CASE in the twin), so
+    the gate pins both the rewrite bytes and the pass-through bytes.
+    Sibling of docs_span_dedup, which gates the digest/count view of
+    the same law."""
+    from kgp.operators.dedup import span_cleaned_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return span_cleaned_docs(docs, k=10)
+
+
 from kgp.operators.sampling import hash_bucket_sql, hash_split
 
 

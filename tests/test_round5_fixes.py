@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from kgp.operators.dedup import (
     _file_sizes,
     near_dup_pairs_minhash,
+    span_cleaned_docs,
     span_dedup_flags,
     span_dedup_stats,
 )
@@ -97,6 +98,55 @@ def test_span_flags_keeper_is_first_occurrence(spark):
         (2, 1): (False, True),  # "q" unique
         (3, 0): (True, False),  # loses "a b c" to doc 1 pos 1
     }
+
+
+def test_span_cleaned_docs_digest_and_byte_identity(spark):
+    """span_cleaned_docs == span_dedup_stats' law, as text: rewritten
+    docs hash to clean_md5; docs losing no block keep their ORIGINAL
+    bytes (even with irregular whitespace the digest normalizes)."""
+    rows = _hot_corpus() + [(50, "m  n o p q")]  # double space, unique
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r["doc_id"]: (r["n_removed"], r["clean_md5"])
+        for r in span_dedup_stats(df, k=3).collect()
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in span_cleaned_docs(df, k=3).collect()
+    }
+    orig = dict(rows)
+    assert set(got) == set(orig)
+    n_rewritten = 0
+    for did, (n_removed, md5hex) in stats.items():
+        if n_removed == 0:
+            assert got[did] == orig[did], did
+        else:
+            n_rewritten += 1
+            assert got[did] != orig[did]
+            assert (
+                hashlib.md5(got[did].encode()).hexdigest() == md5hex
+            ), did
+    # the hot span 'b b b' is block 0 of ten docs: at least nine
+    # rewrites (tail-block collisions in the 6-word vocab may add more)
+    assert n_rewritten >= 9
+    assert got[50] == "m  n o p q"  # untouched ⇒ bytes preserved
+
+
+def test_span_cleaned_docs_hot_cap_parity(spark):
+    df = spark.createDataFrame(_hot_corpus(), "doc_id long, text string")
+    base = sorted(map(tuple, span_cleaned_docs(df, k=3).collect()))
+    for cap in (1, 3):
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    span_cleaned_docs(
+                        df, k=3, hot_span_cap=cap
+                    ).collect(),
+                )
+            )
+            == base
+        )
 
 
 class _ConnectLikeSession:

@@ -231,6 +231,68 @@ def test_training_cli_max_tokens_contract(tmp_path):
     assert r2.returncode == 2, (r2.returncode, r2.stderr[-1000:])
     assert "previous contract" in r2.stderr
 
+    # --span-dedup-tokens is ALSO contract material (it rewrites text)
+    r3 = subprocess.run(
+        cmd + ["--span-dedup-tokens", "10"], capture_output=True,
+        text=True, timeout=600, cwd=repo,
+    )
+    assert r3.returncode == 2, (r3.returncode, r3.stderr[-1000:])
+    assert "previous contract" in r3.stderr
+
+
+def test_training_pipeline_span_dedup_stage(spark, tmp_path):
+    """--span-dedup-tokens inserts the span_cleaned stage: duplicated
+    k-token blocks vanish (digest-exact vs span_dedup_stats computed
+    on the stage INPUT), untouched docs ride through byte-identical,
+    and no doc is dropped. near_dup_threshold=0.99 keeps the planted
+    near-dup pairs alive through doc-level dedup, so they share
+    aligned unperturbed blocks — the stage has real work to do."""
+    import hashlib
+
+    from kgp.operators.dedup import span_dedup_stats
+
+    pages = _pages_path(spark, tmp_path)
+    out = str(tmp_path / "corpus_span")
+    k = 10
+    r = build_training_pipeline(
+        spark,
+        pages,
+        out,
+        min_quality_e4=0,
+        near_dup_threshold=0.99,
+        span_dedup_tokens=k,
+    )
+    assert r.executed[-2:] == ["span_cleaned", "split"]
+
+    pre = spark.read.parquet(f"{out}/deduped")
+    stats = {
+        row["doc_id"]: (row["n_removed"], row["clean_md5"])
+        for row in span_dedup_stats(
+            pre, text_col="extracted_text", k=k
+        ).collect()
+    }
+    orig = {
+        row["doc_id"]: row["extracted_text"]
+        for row in pre.select("doc_id", "extracted_text").collect()
+    }
+    got = {
+        row["doc_id"]: row["extracted_text"]
+        for row in spark.read.parquet(f"{out}/span_cleaned")
+        .select("doc_id", "extracted_text")
+        .collect()
+    }
+    assert set(got) == set(orig)  # rewrite, never drop
+    n_rewritten = 0
+    for did, (n_removed, md5hex) in stats.items():
+        if n_removed == 0:
+            assert got[did] == orig[did], did
+        else:
+            n_rewritten += 1
+            assert (
+                hashlib.md5(got[did].encode()).hexdigest() == md5hex
+            ), did
+    assert n_rewritten > 0
+
 
 def test_training_pipeline_domain_quota(spark, tmp_path):
     """--max-per-domain keeps the K HIGHEST-QUALITY docs per domain:
